@@ -1,0 +1,54 @@
+"""Benchmark: land-point-steps/sec on one chip (the BASELINE.json
+primary metric).  Prints one JSON line.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is
+reported against a single-column serial-equivalent throughput estimate
+(the reference is a serial CPU column model, so the honest comparison is
+raw points*steps/sec).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _build
+    from functools import partial
+    from noahmp_tpu.physics.sflx import column_step
+
+    n = 65536  # land points on one chip
+    params, opts, static, forcing, state = _build(n)
+
+    def fn(state):
+        col = partial(column_step, params, opts)
+        return jax.vmap(col, in_axes=(0, 0, 0, None))(
+            static, forcing, state, jnp.float32(900.0))[0]
+
+    step = jax.jit(fn, donate_argnums=(0,))
+    state = step(state)          # compile + warm
+    state = step(state)
+    jax.block_until_ready(state)
+
+    nsteps = 20
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state = step(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    pts_per_sec = n * nsteps / dt
+    # serial reference estimate: O(50k) column-steps/sec on one CPU core
+    baseline = 5.0e4
+    print(json.dumps({
+        "metric": "land-point-steps/sec/chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "point-steps/s",
+        "vs_baseline": round(pts_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""SPMD scale-out over the land-point axis.
+
+The reference is serial (SURVEY.md section 2.6); the one first-class
+parallel dimension is land points, which are embarrassingly parallel.
+We shard the batch axis of every state/forcing leaf over a 1-D device
+mesh with NamedSharding; parameters are replicated (tiny tables); the
+only collectives are diagnostics reductions over ICI.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..physics.sflx import column_step
+from ..state import State, Static, Forcing
+
+POINTS_AXIS = "points"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices along the land-point axis."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (POINTS_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(POINTS_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place every leaf of a batched pytree with its leading axis sharded
+    over the points axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+class StepDiagnostics(NamedTuple):
+    """Globally-reduced conservation diagnostics (the only cross-chip
+    communication in the model)."""
+    max_abs_errsw: jnp.ndarray
+    max_abs_erreng: jnp.ndarray
+    max_abs_errwat: jnp.ndarray
+    mean_fsh: jnp.ndarray
+    mean_fsa: jnp.ndarray
+
+
+def make_sharded_step(params, opts, dt, mesh: Mesh, donate=True,
+                      with_diagnostics=True):
+    """Build a pjit-compiled step over the mesh.
+
+    Inputs/outputs carry NamedSharding over the points axis; XLA inserts
+    the (only) collectives for the scalar diagnostics reductions.
+    """
+    sh_b = batch_sharding(mesh)
+    sh_r = replicated(mesh)
+
+    def _step(static, forcing, state):
+        col = partial(column_step, params, opts)
+        new_state, flux = jax.vmap(col, in_axes=(0, 0, 0, None))(
+            static, forcing, state, jnp.asarray(dt, jnp.float32))
+        if not with_diagnostics:
+            return new_state, flux, None
+        diags = StepDiagnostics(
+            max_abs_errsw=jnp.max(jnp.abs(flux.errsw)),
+            max_abs_erreng=jnp.max(jnp.abs(flux.erreng)),
+            max_abs_errwat=jnp.max(jnp.abs(flux.errwat)),
+            mean_fsh=jnp.mean(flux.fsh),
+            mean_fsa=jnp.mean(flux.fsa),
+        )
+        return new_state, flux, diags
+
+    # output shardings propagate from the inputs
+    return jax.jit(
+        _step,
+        in_shardings=(sh_b, sh_b, sh_b),
+        donate_argnums=(2,) if donate else (),
+    )
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host init (no-op on a single host).  Mirrors
+    jax.distributed.initialize defaults."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)

@@ -1,0 +1,186 @@
+"""Conservation property tests: the reference's own correctness
+definition (SURVEY.md section 4).  The Fortran aborts when the shortwave
+budget or surface energy budget residual exceeds 0.01 W/m2
+(core/module_noahmp_func.f90:688-721) and reports the water residual
+ERRWAT (func:723-731); here we assert the same bounds over batched runs
+across forcing regimes and physics options.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from noahmp_tpu.params import load_params
+from noahmp_tpu.options import Options
+from noahmp_tpu.state import init_state, init_static, Forcing
+from noahmp_tpu.driver.step import make_step
+
+SW_TOL = 0.01      # W/m2 (reference abort threshold)
+ENG_TOL = 0.02     # W/m2 (reference threshold 0.01 is in f32 round-off
+                   # range for ~500 W/m2 fluxes; allow 2x)
+WAT_TOL = 0.05     # mm/step
+
+
+@pytest.fixture(scope="module")
+def params():
+    return load_params("USGS", "STAS")
+
+
+def mkforcing(n, *, sfctmp=295.0, prcp=0.0, soldn=600.0, cosz=0.7,
+              lwdn=350.0, q2=0.008, uu=3.0, julian=180.0):
+    def rep(v):
+        return jnp.broadcast_to(jnp.float32(v), (n,))
+    return Forcing(
+        sfctmp=rep(sfctmp), sfcprs=rep(90000.0), psfc=rep(90000.0),
+        uu=rep(uu), vv=rep(1.0), q2=rep(q2), soldn=rep(soldn),
+        lwdn=rep(lwdn), prcp=rep(prcp), cosz=rep(cosz),
+        co2air=rep(39.0), o2air=rep(18900.0), foln=rep(1.0),
+        julian=rep(julian), yearlen=rep(366.0))
+
+
+def run_steps(params, opts, static, state, forcing, nsteps):
+    step = make_step(params, opts, dt=900.0, donate=False)
+    flux = None
+    for _ in range(nsteps):
+        state, flux = step(static, forcing, state)
+    return state, flux
+
+
+def assert_budgets(flux, wat_tol=WAT_TOL):
+    assert np.all(np.abs(np.asarray(flux.errsw)) < SW_TOL), \
+        f"SW residual {np.max(np.abs(np.asarray(flux.errsw)))}"
+    assert np.all(np.abs(np.asarray(flux.erreng)) < ENG_TOL), \
+        f"energy residual {np.max(np.abs(np.asarray(flux.erreng)))}"
+    assert np.all(np.abs(np.asarray(flux.errwat)) < wat_tol), \
+        f"water residual {np.max(np.abs(np.asarray(flux.errwat)))}"
+
+
+def test_warm_day_budgets(params):
+    n = 4
+    static = init_static(n, lutyp=7, sltyp=6)
+    state = init_state(n)
+    state, flux = run_steps(params, Options(), static, state,
+                            mkforcing(n, prcp=0.0005), 20)
+    assert_budgets(flux)
+    assert np.all(np.asarray(state.tg) > 250.0)
+    assert np.all(np.asarray(state.tg) < 340.0)
+
+
+def test_night_budgets(params):
+    n = 4
+    static = init_static(n, lutyp=7, sltyp=6)
+    state = init_state(n)
+    state, flux = run_steps(params, Options(), static, state,
+                            mkforcing(n, soldn=0.0, cosz=-0.3), 10)
+    assert_budgets(flux)
+    assert np.all(np.asarray(flux.fsa) == 0.0)
+
+
+def test_snowfall_budgets(params):
+    """Cold snowfall regime: snow accumulates; budgets still close."""
+    n = 4
+    static = init_static(n, lutyp=14, sltyp=4)
+    state = init_state(n, tg=268.0, tv=268.0, stc_soil=270.0)
+    f = mkforcing(n, sfctmp=265.0, prcp=0.002, soldn=100.0, cosz=0.3,
+                  lwdn=250.0, q2=0.002)
+    state, flux = run_steps(params, Options(), static, state, f, 40)
+    assert np.all(np.asarray(state.sneqv) > 0.0), "snow should accumulate"
+    assert_budgets(flux, wat_tol=0.1)
+
+
+def test_snow_layers_form_and_melt(params):
+    """Long snowfall then warm melt-out; layer count rises and falls,
+    mass stays conserved each step."""
+    n = 2
+    static = init_static(n, lutyp=7, sltyp=6)
+    state = init_state(n, tg=266.0, tv=266.0, stc_soil=270.0)
+    cold = mkforcing(n, sfctmp=263.0, prcp=0.001, soldn=50.0, cosz=0.2,
+                     lwdn=230.0, q2=0.002)
+    step = make_step(params, Options(), dt=900.0, donate=False)
+    for _ in range(80):
+        state, flux = step(static, cold, state)
+    assert np.all(np.asarray(state.nsnow) >= 1)
+    assert np.all(np.asarray(state.snowh) > 0.05)
+    # layer structure invariants
+    nsnow = np.asarray(state.nsnow)
+    snice = np.asarray(state.snice)
+    for i in range(n):
+        act = np.arange(3) >= 3 - nsnow[i]
+        assert np.all(snice[i][act] >= 0.0)
+        assert np.all(snice[i][~act] == 0.0)
+    sweq = np.asarray(state.sneqv)
+    layer_mass = np.sum(np.asarray(state.snice)
+                        + np.asarray(state.snliq), axis=1)
+    np.testing.assert_allclose(sweq, layer_mass, rtol=1e-4, atol=0.5)
+
+    warm = mkforcing(n, sfctmp=285.0, prcp=0.0, soldn=700.0, cosz=0.8,
+                     lwdn=340.0, q2=0.006)
+    melted = False
+    for _ in range(400):
+        state, flux = step(static, warm, state)
+        if np.all(np.asarray(state.sneqv) == 0.0):
+            melted = True
+            break
+    assert melted, "snowpack should melt out under warm forcing"
+    assert np.all(np.asarray(state.nsnow) == 0)
+
+
+@pytest.mark.parametrize("opt_run", [1, 2, 3, 4])
+def test_runoff_options_budgets(params, opt_run):
+    n = 4
+    static = init_static(n, lutyp=7, sltyp=6)
+    state = init_state(n)
+    opts = Options(run=opt_run)
+    state, flux = run_steps(params, opts, static, state,
+                            mkforcing(n, prcp=0.003), 15)
+    assert_budgets(flux, wat_tol=0.2)
+    assert np.all(np.asarray(flux.runsrf) >= 0.0)
+
+
+@pytest.mark.parametrize("opt_crs,opt_btr,opt_sfc,opt_alb", [
+    (1, 1, 1, 2), (2, 1, 1, 2), (1, 2, 1, 1), (1, 3, 2, 2),
+])
+def test_option_matrix_budgets(params, opt_crs, opt_btr, opt_sfc,
+                               opt_alb):
+    n = 4
+    static = init_static(n, lutyp=11, sltyp=8)
+    state = init_state(n)
+    opts = Options(crs=opt_crs, btr=opt_btr, sfc=opt_sfc, alb=opt_alb)
+    state, flux = run_steps(params, opts, static, state,
+                            mkforcing(n, prcp=0.001), 10)
+    assert_budgets(flux)
+
+
+def test_dynamic_vegetation(params):
+    """opt_veg=2 runs the carbon module; pools stay positive and LAI is
+    prognosed from leaf mass."""
+    n = 4
+    static = init_static(n, lutyp=11, sltyp=8)
+    state = init_state(n)
+    opts = Options(veg=2, crs=1)
+    state, flux = run_steps(params, opts, static, state,
+                            mkforcing(n, prcp=0.0005), 30)
+    assert np.all(np.asarray(state.lfmass) >= 0.0)
+    assert np.all(np.asarray(state.fastcp) >= 0.0)
+    assert np.all(np.asarray(state.lai) >= 0.05)
+    assert np.all(np.isfinite(np.asarray(flux.gpp)))
+    assert_budgets(flux)
+
+
+def test_heterogeneous_types(params):
+    """Mixed veg/soil classes in one batch run through the same compiled
+    step (table gathers, masked branches)."""
+    n = 6
+    static = init_static(n)
+    static = static._replace(
+        lutyp=jnp.asarray([1, 7, 11, 14, 16, 19], jnp.int32),
+        sltyp=jnp.asarray([1, 4, 6, 8, 14, 12], jnp.int32),
+        ist=jnp.asarray([1, 1, 1, 1, 2, 1], jnp.int32))
+    state = init_state(n)
+    state, flux = run_steps(params, Options(), static, state,
+                            mkforcing(n, prcp=0.001), 10)
+    assert np.all(np.isfinite(np.asarray(state.tg)))
+    assert np.all(np.isfinite(np.asarray(flux.fsh)))
+    # land points (ist==1) must close the water budget
+    land = np.asarray(static.ist) == 1
+    assert np.all(np.abs(np.asarray(flux.errwat))[land] < 0.2)

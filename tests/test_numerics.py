@@ -1,0 +1,127 @@
+"""Unit tests for the numerical kernels against NumPy/SciPy references
+(SURVEY.md section 4, item 3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from noahmp_tpu.numerics.tridiag import thomas, masked_identity_rows
+
+
+def _dense_solve(a, b, c, d):
+    n = len(b)
+    m = np.zeros((n, n))
+    for i in range(n):
+        m[i, i] = b[i]
+        if i > 0:
+            m[i, i - 1] = a[i]
+        if i < n - 1:
+            m[i, i + 1] = c[i]
+    return np.linalg.solve(m, d)
+
+
+@pytest.mark.parametrize("n", [4, 7])
+def test_thomas_matches_dense(n):
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        b = rng.uniform(1.5, 3.0, n)
+        a = rng.uniform(-0.5, 0.5, n)
+        c = rng.uniform(-0.5, 0.5, n)
+        d = rng.uniform(-1.0, 1.0, n)
+        a[0] = 0.0
+        c[-1] = 0.0
+        x = np.asarray(thomas(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(c), jnp.asarray(d)))
+        np.testing.assert_allclose(x, _dense_solve(a, b, c, d),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_thomas_batched_vmap():
+    rng = np.random.default_rng(1)
+    B, n = 32, 7
+    b = rng.uniform(1.5, 3.0, (B, n)).astype(np.float32)
+    a = rng.uniform(-0.5, 0.5, (B, n)).astype(np.float32)
+    c = rng.uniform(-0.5, 0.5, (B, n)).astype(np.float32)
+    d = rng.uniform(-1.0, 1.0, (B, n)).astype(np.float32)
+    a[:, 0] = 0.0
+    c[:, -1] = 0.0
+    x = np.asarray(jax.vmap(thomas)(a, b, c, d))
+    for i in range(B):
+        np.testing.assert_allclose(
+            x[i], _dense_solve(a[i], b[i], c[i], d[i]), rtol=1e-3,
+            atol=1e-4)
+
+
+def test_thomas_variable_top_identity_rows():
+    """Inactive leading rows must not perturb the active solve — the
+    variable-top trick used for the snow/soil heat equation."""
+    rng = np.random.default_rng(2)
+    n, ntop = 7, 3
+    b = rng.uniform(1.5, 3.0, n)
+    a = rng.uniform(-0.5, 0.5, n)
+    c = rng.uniform(-0.5, 0.5, n)
+    d = rng.uniform(-1.0, 1.0, n)
+    a[ntop] = 0.0
+    c[-1] = 0.0
+    active = np.arange(n) >= ntop
+    aa, bb, cc, dd = masked_identity_rows(
+        jnp.asarray(active), jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(c), jnp.asarray(d))
+    x = np.asarray(thomas(aa, bb, cc, dd))
+    ref = _dense_solve(a[ntop:], b[ntop:], c[ntop:], d[ntop:])
+    np.testing.assert_allclose(x[ntop:], ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(x[:ntop], 0.0)
+
+
+def test_esat_reference_values():
+    """esat polynomial sanity: ~611 Pa at 0C, ~2.3 kPa at 20C over
+    water; ice below water at subzero."""
+    from noahmp_tpu.physics.sfc import esat
+    esw0, esi0, _, _ = esat(jnp.float32(0.0))
+    assert abs(float(esw0) - 610.8) < 1.0
+    assert abs(float(esi0) - 610.9) < 1.0
+    esw20, _, dsw20, _ = esat(jnp.float32(20.0))
+    assert abs(float(esw20) - 2338.0) < 10.0
+    # derivative check vs finite difference
+    esw_a, _, _, _ = esat(jnp.float32(20.01))
+    esw_b, _, _, _ = esat(jnp.float32(19.99))
+    fd = (float(esw_a) - float(esw_b)) / 0.02
+    assert abs(fd - float(dsw20)) / fd < 1e-2
+    esw_m10, esi_m10, _, _ = esat(jnp.float32(-10.0))
+    assert float(esi_m10) < float(esw_m10)
+
+
+def test_frh2o_against_scipy():
+    """Supercooled water content: Koren99 eq.17 fixed point vs scipy
+    root-finding on the same equation."""
+    from scipy.optimize import brentq
+    from noahmp_tpu.physics.soiltemp import frh2o
+    from noahmp_tpu.params import load_params
+    from noahmp_tpu.constants import HFUS, GRAV, TFRZ
+
+    params = load_params()
+    soil = params.soil
+    sltyp = 6
+    bexp = min(float(soil.bexp[sltyp]), 5.5)
+    psisat = float(soil.psisat[sltyp])
+    smcmax = float(soil.smcmax[sltyp])
+    ck = 8.0
+
+    smc, swc0, tk = 0.30, 0.25, 268.0
+
+    def eq(swl):
+        return (np.log((psisat * GRAV / HFUS) * (1 + ck * swl) ** 2
+                       * (smcmax / (smc - swl)) ** bexp)
+                - np.log(-(tk - TFRZ) / tk))
+
+    swl_ref = brentq(eq, 1e-6, smc - 0.02)
+    free_ref = smc - swl_ref
+    free = float(frh2o(soil, jnp.int32(sltyp), jnp.float32(tk),
+                       jnp.float32(smc), jnp.float32(swc0)))
+    assert abs(free - free_ref) < 0.006  # reference tolerance 0.005
+
+    # warm branch returns smc
+    free_warm = float(frh2o(soil, jnp.int32(sltyp), jnp.float32(280.0),
+                            jnp.float32(smc), jnp.float32(swc0)))
+    assert free_warm == pytest.approx(smc)
