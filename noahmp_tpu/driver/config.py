@@ -1,0 +1,184 @@
+"""Run configuration from Fortran namelist files.
+
+Mirrors the reference's Config contract (offline/noahmp_config.py:8-103):
+the ``&NOAHMP_OFFLINE`` group with 24 mandatory keys, start/end datetimes
+and a timestep, plus the physics option flags.  The namelist parser is
+self-contained (the image has no f90nml); it handles the subset the
+format actually uses: ``&GROUP``, ``key = value`` (strings, ints,
+floats, logicals, comma lists), ``/`` terminator, ``!`` comments.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict
+
+from ..options import Options
+
+NML_FIELDS = [
+    "static_parameter_file", "initialization_file", "restart_file",
+    "input_directory", "input_frequency", "output_directory",
+    "output_frequency", "restart_directory", "restart_frequency",
+    "start_year", "start_month", "start_day", "start_hour",
+    "start_minute", "start_second",
+    "end_year", "end_month", "end_day", "end_hour", "end_minute",
+    "end_second",
+    "interval_seconds",
+    # the reference namelist exposes 9 option flags (opt_tub/opt_can are
+    # parsed but unused by the physics, matching noahmp_config.py:35-43)
+    "opt_veg", "opt_run", "opt_btr", "opt_rad", "opt_tub", "opt_can",
+    "opt_inf", "opt_snf", "opt_tbot",
+]
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "sec": 1, "s": 1,
+    "minute": 60, "minutes": 60, "min": 60,
+    "hour": 3600, "hours": 3600, "h": 3600, "hr": 3600,
+    "day": 86400, "days": 86400, "d": 86400,
+    "month": 30 * 86400, "months": 30 * 86400,
+    "year": 365 * 86400, "years": 365 * 86400,
+}
+
+
+def _parse_value(tok: str) -> Any:
+    tok = tok.strip()
+    if tok.startswith(("'", '"')):
+        return tok[1:-1]
+    low = tok.lower()
+    if low in (".true.", "t", "true"):
+        return True
+    if low in (".false.", "f", "false"):
+        return False
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok.replace("d", "e").replace("D", "E"))
+    except ValueError:
+        return tok
+
+
+def read_namelist(path: str) -> Dict[str, Dict[str, Any]]:
+    """Parse a Fortran namelist file into {group: {key: value}}."""
+    groups: Dict[str, Dict[str, Any]] = {}
+    current = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("!")[0].strip()
+            if not line:
+                continue
+            if line.startswith("&"):
+                current = line[1:].strip().upper()
+                groups[current] = {}
+                continue
+            if line in ("/", "&end", "&END"):
+                current = None
+                continue
+            if current is None or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            key = key.strip().lower()
+            vals = [v for v in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)",
+                                        val.strip()) if v.strip()]
+            parsed = [_parse_value(v) for v in vals]
+            groups[current][key] = parsed[0] if len(parsed) == 1 \
+                else parsed
+    return groups
+
+
+def parse_frequency(spec) -> datetime.timedelta:
+    """'1 hour' / '3 hour' / '1 month' -> timedelta."""
+    if isinstance(spec, (int, float)):
+        return datetime.timedelta(seconds=float(spec))
+    m = re.match(r"\s*([\d.]+)\s*([a-zA-Z]+)\s*$", str(spec))
+    if not m:
+        raise ValueError(f"cannot parse frequency {spec!r}")
+    n, unit = float(m.group(1)), m.group(2).lower()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unknown frequency unit {unit!r} in {spec!r}")
+    return datetime.timedelta(seconds=n * _UNIT_SECONDS[unit])
+
+
+@dataclass
+class Config:
+    """Offline-run configuration (reference offline/noahmp_config.py)."""
+    constfile: str = "domain.nc"
+    initfile: str = "init.nc"
+    resfile: str = "restart.nc"
+    indir: str = "."
+    infreq: datetime.timedelta = field(
+        default_factory=lambda: datetime.timedelta(hours=1))
+    outdir: str = "."
+    outfreq: datetime.timedelta = field(
+        default_factory=lambda: datetime.timedelta(hours=3))
+    resdir: str = "."
+    resfreq: datetime.timedelta = field(
+        default_factory=lambda: datetime.timedelta(days=30))
+    begdatetime: datetime.datetime = None
+    enddatetime: datetime.datetime = None
+    timestep: datetime.timedelta = field(
+        default_factory=lambda: datetime.timedelta(seconds=900))
+    options: Options = field(default_factory=Options)
+    # scheme tags for the parameter tables
+    veg_scheme: str = "USGS"
+    soil_scheme: str = "STAS"
+    restart: bool = False
+
+    @classmethod
+    def from_namelist(cls, path: str) -> "Config":
+        nml = read_namelist(path)
+        if "NOAHMP_OFFLINE" not in nml:
+            raise ValueError(
+                f"{path}: missing &NOAHMP_OFFLINE group")
+        cfg = nml["NOAHMP_OFFLINE"]
+        missing = [k for k in NML_FIELDS if k not in cfg]
+        if missing:
+            raise ValueError(
+                f"{path}: missing mandatory namelist fields: {missing}")
+
+        opts = Options(
+            veg=cfg["opt_veg"], run=cfg["opt_run"], btr=cfg["opt_btr"],
+            rad=cfg["opt_rad"], inf=cfg["opt_inf"], snf=cfg["opt_snf"],
+            tbot=cfg["opt_tbot"],
+            # flags with no namelist entry keep reference defaults
+            crs=cfg.get("opt_crs", 1), sfc=cfg.get("opt_sfc", 1),
+            frz=cfg.get("opt_frz", 1), alb=cfg.get("opt_alb", 2),
+            stc=cfg.get("opt_stc", 1))
+
+        return cls(
+            constfile=cfg["static_parameter_file"],
+            initfile=cfg["initialization_file"],
+            resfile=cfg["restart_file"],
+            indir=cfg["input_directory"],
+            infreq=parse_frequency(cfg["input_frequency"]),
+            outdir=cfg["output_directory"],
+            outfreq=parse_frequency(cfg["output_frequency"]),
+            resdir=cfg["restart_directory"],
+            resfreq=parse_frequency(cfg["restart_frequency"]),
+            begdatetime=datetime.datetime(
+                cfg["start_year"], cfg["start_month"], cfg["start_day"],
+                cfg["start_hour"], cfg["start_minute"],
+                cfg["start_second"]),
+            enddatetime=datetime.datetime(
+                cfg["end_year"], cfg["end_month"], cfg["end_day"],
+                cfg["end_hour"], cfg["end_minute"], cfg["end_second"]),
+            timestep=datetime.timedelta(
+                seconds=cfg["interval_seconds"]),
+            options=opts,
+            veg_scheme=cfg.get("veg_scheme", "USGS"),
+            soil_scheme=cfg.get("soil_scheme", "STAS"),
+            restart=bool(cfg.get("restart", False)),
+        )
+
+    @property
+    def nsteps(self) -> int:
+        span = self.enddatetime - self.begdatetime
+        return int(span.total_seconds()
+                   // self.timestep.total_seconds())
+
+    @property
+    def dt(self) -> float:
+        return self.timestep.total_seconds()

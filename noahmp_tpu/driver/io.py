@@ -1,0 +1,265 @@
+"""Offline-run I/O: domain/initialization loading, forcing providers,
+output writing, and restart files.
+
+The reference's intended file layout (run/case.nml: geo_em.d01.nc,
+init.nc, ldasin/, ldasout/, restart/) assumed NetCDF, which this image
+lacks; the same layout is supported with ``.npz`` payloads, and any
+``.nc`` path transparently falls back to a sibling ``.npz``.  Each npz
+maps variable name -> array; forcing files are named
+``ldasin/YYYYMMDDHH.npz`` like LDAS convention.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import NSOIL, MSNOW
+from ..state import State, Static, Forcing, init_state, init_static
+from . import solar
+
+STATE_FIELDS = State._fields
+
+
+def _npz_path(path: str) -> str:
+    if path.endswith(".nc") and not os.path.exists(path):
+        alt = path[:-3] + ".npz"
+        if os.path.exists(alt):
+            return alt
+    return path
+
+
+def load_arrays(path: str) -> Dict[str, np.ndarray]:
+    path = _npz_path(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    raise ValueError(
+        f"unsupported input format for {path!r} (NetCDF support needs "
+        "the netCDF4 package, not present in this image; use .npz)")
+
+
+def save_arrays(path: str, arrays: Dict[str, np.ndarray]):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".nc"):
+        path = path[:-3] + ".npz"
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_domain(path: str) -> Static:
+    """Static domain file -> Static pytree (batch axis = land points)."""
+    d = load_arrays(path)
+    n = len(np.atleast_1d(d["lat"]))
+
+    def get(name, default, dtype=np.float32):
+        if name in d:
+            return jnp.asarray(np.broadcast_to(
+                np.asarray(d[name], dtype), (n,)
+                if np.ndim(d[name]) <= 1 else d[name].shape))
+        return jnp.broadcast_to(jnp.asarray(default, dtype), (n,))
+
+    zsoil = d.get("zsoil", np.array([-0.1, -0.4, -1.0, -2.0],
+                                    np.float32))
+    zsoil = jnp.broadcast_to(jnp.asarray(zsoil, jnp.float32),
+                             (n, NSOIL))
+    return Static(
+        lat=get("lat", 0.7), lutyp=get("lutyp", 7, np.int32),
+        sltyp=get("sltyp", 6, np.int32),
+        slptyp=get("slptyp", 1, np.int32),
+        isc=get("isc", 4, np.int32), ist=get("ist", 1, np.int32),
+        ice=get("ice", 0, np.int32), zsoil=zsoil,
+        shdfac=get("shdfac", 0.7), shdmax=get("shdmax", 0.8),
+        tbot=get("tbot", 285.0), zlvl=get("zlvl", 10.0))
+
+
+def load_init(path: str, n: int) -> State:
+    """Initialization file -> State; missing fields cold-start."""
+    d = load_arrays(path)
+    st = init_state(n)
+    updates = {}
+    for name in STATE_FIELDS:
+        if name in d:
+            ref = getattr(st, name)
+            updates[name] = jnp.asarray(
+                np.broadcast_to(np.asarray(d[name], ref.dtype),
+                                ref.shape))
+    return st._replace(**updates)
+
+
+def save_restart(path: str, state: State, when: datetime.datetime):
+    arrays = {name: np.asarray(getattr(state, name))
+              for name in STATE_FIELDS}
+    arrays["_timestamp"] = np.asarray(when.isoformat())
+    return save_arrays(path, arrays)
+
+
+def load_restart(path: str):
+    d = load_arrays(path)
+    when = datetime.datetime.fromisoformat(str(d.pop("_timestamp")))
+    state = State(**{name: jnp.asarray(d[name])
+                     for name in STATE_FIELDS})
+    return state, when
+
+
+class ForcingProvider:
+    """Interface: forcing(when) -> Forcing for a batch of points."""
+
+    def __call__(self, when: datetime.datetime) -> Forcing:
+        raise NotImplementedError
+
+
+class FileForcing(ForcingProvider):
+    """Reads ``<indir>/YYYYMMDDHH[MM].npz`` files at ``infreq`` cadence
+    and linearly interpolates state-like fields to the model time
+    (precip is held constant over the input interval, LDAS-style)."""
+
+    INTERP = ("sfctmp", "sfcprs", "q2", "uu", "vv", "soldn", "lwdn")
+    HOLD = ("prcp",)
+
+    def __init__(self, indir: str, infreq: datetime.timedelta,
+                 static: Static):
+        self.indir = indir
+        self.infreq = infreq
+        self.static = static
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def _fname(self, when: datetime.datetime) -> str:
+        stamp = when.strftime("%Y%m%d%H")
+        if self.infreq < datetime.timedelta(hours=1):
+            stamp += when.strftime("%M")
+        for ext in (".npz", ".nc"):
+            p = os.path.join(self.indir, stamp + ext)
+            if os.path.exists(_npz_path(p)):
+                return p
+        raise FileNotFoundError(
+            f"no forcing file for {when} in {self.indir}")
+
+    def _load(self, when: datetime.datetime) -> Dict[str, np.ndarray]:
+        key = when.isoformat()
+        if key not in self._cache:
+            if len(self._cache) > 4:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = load_arrays(self._fname(when))
+        return self._cache[key]
+
+    def __call__(self, when: datetime.datetime) -> Forcing:
+        secs = self.infreq.total_seconds()
+        t0 = datetime.datetime.fromtimestamp(
+            (when.timestamp() // secs) * secs)
+        t1 = t0 + self.infreq
+        w = (when - t0).total_seconds() / secs
+        d0 = self._load(t0)
+        d1 = self._load(t1) if w > 0 else d0
+
+        n = self.static.lat.shape[0]
+
+        def interp(name):
+            a = np.broadcast_to(np.asarray(d0[name], np.float32), (n,))
+            b = np.broadcast_to(np.asarray(d1[name], np.float32), (n,))
+            return jnp.asarray((1.0 - w) * a + w * b)
+
+        def hold(name):
+            return jnp.asarray(np.broadcast_to(
+                np.asarray(d0[name], np.float32), (n,)))
+
+        yearlen = float(solar.year_length(when.year))
+        jd = solar.julian_day(when)
+        lon = np.asarray(d0.get("lon", 0.0), np.float32)
+        cosz = solar.cos_zenith(np.asarray(self.static.lat), lon, jd,
+                                yearlen)
+        return Forcing(
+            sfctmp=interp("sfctmp"), sfcprs=interp("sfcprs"),
+            psfc=interp("sfcprs"), uu=interp("uu"), vv=interp("vv"),
+            q2=interp("q2"), soldn=interp("soldn"),
+            lwdn=interp("lwdn"), prcp=hold("prcp"),
+            cosz=jnp.broadcast_to(jnp.asarray(cosz), (n,)),
+            co2air=hold("co2air") if "co2air" in d0
+            else jnp.full((n,), 39.0, jnp.float32),
+            o2air=hold("o2air") if "o2air" in d0
+            else jnp.full((n,), 18900.0, jnp.float32),
+            foln=hold("foln") if "foln" in d0
+            else jnp.full((n,), 1.0, jnp.float32),
+            julian=jnp.full((n,), jd, jnp.float32),
+            yearlen=jnp.full((n,), yearlen, jnp.float32))
+
+
+class SyntheticForcing(ForcingProvider):
+    """Idealized diurnal-cycle forcing (the reference repo ships no
+    forcing data; this generates the offline case's meteorology)."""
+
+    def __init__(self, static: Static, tmean=288.0, tamp=8.0,
+                 solmax=800.0, prcp=0.0, q2=0.007, wind=3.0,
+                 lwdn=330.0, sfcprs=90000.0):
+        self.static = static
+        self.tmean, self.tamp = tmean, tamp
+        self.solmax, self.prcp = solmax, prcp
+        self.q2, self.wind, self.lwdn = q2, wind, lwdn
+        self.sfcprs = sfcprs
+
+    def __call__(self, when: datetime.datetime) -> Forcing:
+        n = self.static.lat.shape[0]
+        yearlen = float(solar.year_length(when.year))
+        jd = solar.julian_day(when)
+        cosz = solar.cos_zenith(np.asarray(self.static.lat), 0.0, jd,
+                                yearlen)
+        day = np.maximum(cosz, 0.0)
+        sfctmp = self.tmean + self.tamp * (day - 0.3)
+        soldn = self.solmax * day
+
+        def rep(v):
+            return jnp.asarray(np.broadcast_to(
+                np.asarray(v, np.float32), (n,)))
+
+        return Forcing(
+            sfctmp=rep(sfctmp), sfcprs=rep(self.sfcprs),
+            psfc=rep(self.sfcprs), uu=rep(self.wind), vv=rep(1.0),
+            q2=rep(self.q2), soldn=rep(soldn), lwdn=rep(self.lwdn),
+            prcp=rep(self.prcp), cosz=rep(cosz), co2air=rep(39.0),
+            o2air=rep(18900.0), foln=rep(1.0), julian=rep(jd),
+            yearlen=rep(yearlen))
+
+
+class OutputWriter:
+    """Accumulates per-step fluxes and writes time-stamped output files
+    at the configured cadence (the reference's ldasout contract)."""
+
+    def __init__(self, outdir: str, outfreq: datetime.timedelta,
+                 fields=("fsa", "fsr", "fira", "fsh", "fcev", "fgev",
+                         "fctr", "ssoil", "trad", "ecan", "etran",
+                         "edir", "runsrf", "runsub", "fsno", "albedo",
+                         "gpp", "nee")):
+        self.outdir = outdir
+        self.outfreq = outfreq
+        self.fields = fields
+        self._acc: Optional[Dict[str, np.ndarray]] = None
+        self._count = 0
+        self._files = []
+
+    def push(self, when: datetime.datetime, flux, state: State):
+        if self._acc is None:
+            self._acc = {f: np.zeros_like(np.asarray(
+                getattr(flux, f), np.float64)) for f in self.fields}
+            self._count = 0
+        for f in self.fields:
+            self._acc[f] += np.asarray(getattr(flux, f), np.float64)
+        self._count += 1
+
+        secs = self.outfreq.total_seconds()
+        at_boundary = (when.timestamp() % secs) == 0
+        if at_boundary and self._count > 0:
+            arrays = {f: (self._acc[f] / self._count).astype(np.float32)
+                      for f in self.fields}
+            # instantaneous prognostics snapshot
+            for name in ("tg", "tv", "sneqv", "snowh", "zwt", "smc",
+                         "swc", "stc", "canliq", "canice", "lai"):
+                arrays[name] = np.asarray(getattr(state, name))
+            path = os.path.join(self.outdir,
+                                when.strftime("%Y%m%d%H%M") + ".npz")
+            self._files.append(save_arrays(path, arrays))
+            self._acc = None
+        return self._files

@@ -1,0 +1,124 @@
+"""Driver-layer tests: namelist config, solar geometry, IO round-trips,
+and a short offline run (reference contract: offline/noahmp_config.py +
+run/case.nml)."""
+
+import datetime
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from noahmp_tpu.driver.config import (Config, read_namelist,
+                                      parse_frequency)
+from noahmp_tpu.driver import solar, io as io_mod
+from noahmp_tpu.state import init_state, init_static
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CASE = os.path.join(REPO, "examples", "case.nml")
+
+
+def test_namelist_parse():
+    nml = read_namelist(CASE)
+    cfg = nml["NOAHMP_OFFLINE"]
+    assert cfg["start_year"] == 2000
+    assert cfg["interval_seconds"] == 900
+    assert cfg["input_frequency"] == "1 hour"
+    assert cfg["opt_veg"] == 1
+
+
+def test_config_contract():
+    cfg = Config.from_namelist(CASE)
+    assert cfg.nsteps == 96           # reference case span
+    assert cfg.dt == 900.0
+    assert cfg.options.veg == 1
+    assert cfg.options.run == 1
+    # flags absent from the namelist keep reference defaults
+    assert cfg.options.alb == 2
+    assert cfg.options.stc == 1
+
+
+def test_config_missing_field(tmp_path):
+    bad = tmp_path / "bad.nml"
+    bad.write_text("&NOAHMP_OFFLINE\n start_year = 2000\n/\n")
+    with pytest.raises(ValueError, match="missing mandatory"):
+        Config.from_namelist(str(bad))
+
+
+def test_parse_frequency():
+    assert parse_frequency("1 hour").total_seconds() == 3600
+    assert parse_frequency("3 hour").total_seconds() == 10800
+    assert parse_frequency("1 month").total_seconds() == 30 * 86400
+    assert parse_frequency(900).total_seconds() == 900
+    with pytest.raises(ValueError):
+        parse_frequency("5 fortnights")
+
+
+def test_cos_zenith_physical():
+    lat = np.deg2rad(40.0)
+    # local noon at lon=0 on the summer solstice: high sun
+    noon = solar.cos_zenith(lat, 0.0, 172.5, 365.0)
+    midnight = solar.cos_zenith(lat, 0.0, 172.0, 365.0)
+    assert noon > 0.8
+    assert midnight < 0.0
+    # equator gets more sun than the pole at equinox noon
+    eq = solar.cos_zenith(0.0, 0.0, 80.5, 365.0)
+    pole = solar.cos_zenith(np.deg2rad(80.0), 0.0, 80.5, 365.0)
+    assert eq > pole
+
+
+def test_restart_roundtrip(tmp_path):
+    st = init_state(5)
+    st = st._replace(tg=st.tg + jnp.arange(5.0))
+    when = datetime.datetime(2000, 6, 1, 12)
+    path = str(tmp_path / "restart.npz")
+    io_mod.save_restart(path, st, when)
+    st2, when2 = io_mod.load_restart(path)
+    assert when2 == when
+    np.testing.assert_array_equal(np.asarray(st.tg), np.asarray(st2.tg))
+    np.testing.assert_array_equal(np.asarray(st.stc),
+                                  np.asarray(st2.stc))
+
+
+def test_domain_and_init_load(tmp_path):
+    n = 3
+    np.savez(tmp_path / "domain.npz",
+             lat=np.full(n, 0.5, np.float32),
+             lutyp=np.array([1, 7, 14], np.int32),
+             sltyp=np.array([3, 6, 9], np.int32))
+    static = io_mod.load_domain(str(tmp_path / "domain.npz"))
+    assert static.lat.shape == (n,)
+    assert int(static.lutyp[2]) == 14
+    # defaults fill missing fields
+    assert static.zsoil.shape == (n, 4)
+
+    np.savez(tmp_path / "init.npz", tg=np.full(n, 300.0, np.float32))
+    st = io_mod.load_init(str(tmp_path / "init.npz"), n)
+    assert float(st.tg[0]) == 300.0
+    assert st.smc.shape == (n, 4)
+
+
+def test_nc_fallback_to_npz(tmp_path):
+    n = 2
+    np.savez(tmp_path / "domain.npz", lat=np.zeros(n, np.float32))
+    static = io_mod.load_domain(str(tmp_path / "domain.nc"))
+    assert static.lat.shape == (n,)
+
+
+def test_offline_run_short(tmp_path):
+    """2-hour offline run with synthetic forcing writes output at the
+    configured cadence."""
+    from noahmp_tpu.driver.run import run_offline
+    cfg = Config.from_namelist(CASE)
+    cfg.enddatetime = cfg.begdatetime + datetime.timedelta(hours=2)
+    cfg.outdir = str(tmp_path / "out")
+    cfg.resdir = str(tmp_path / "res")
+    cfg.outfreq = datetime.timedelta(hours=1)
+    cfg.constfile = str(tmp_path / "nodomain.npz")  # force synthetic
+    cfg.initfile = str(tmp_path / "noinit.npz")
+    cfg.indir = str(tmp_path / "noin")
+    state, files = run_offline(cfg, verbose=False, n_points=4)
+    assert len(files) == 2
+    out = np.load(files[0])
+    assert "fsh" in out.files and "tg" in out.files
+    assert np.all(np.isfinite(out["tg"]))
