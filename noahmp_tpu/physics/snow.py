@@ -220,8 +220,9 @@ def combine(p: Pack) -> Pack:
         is_bot_l = pp == MSNOW - 1
         below_sum = dz[jnp.minimum(pp + 1, MSNOW - 1)] + dz[pp]
         above_sum = dz[jnp.maximum(pp - 1, 0)] + dz[pp]
-        prefer_above = (~is_top_l) & (~is_bot_l) & (above_sum < below_sum)
-        neib_above = is_bot_l | prefer_above
+        prefer_above = (~is_top_l) & (not is_bot_l) \
+            & (above_sum < below_sum)
+        neib_above = prefer_above | is_bot_l
         jj = jnp.where(neib_above, pi, jnp.minimum(pi + 1, MSNOW - 1))
         ll = jnp.where(neib_above, jnp.maximum(pi - 1, 0), pi)
 
