@@ -162,3 +162,28 @@ def co2flux(veg, lutyp, igs, dt, stc1, psn, troot, tv, wroot, wstres,
     return CarbonOut(lfmass, rtmass, stmass, wood, stblcp, fastcp,
                      xlai, xsai, gpp, npp, nee, autors, heters, totsc,
                      totlb)
+
+
+def bvocflux(veg, lutyp, vegfrac, apar, tv):
+    """Guenther biogenic VOC emissions, 5 species [ug C m-2 h-1]
+    (reference func:7028-7112 — present upstream but disconnected from
+    the call tree, func:59,6749; exposed here as an optional
+    diagnostic).  Returns (5,) fluxes."""
+    from ..constants import RGAS
+    alpha, cl1 = 0.0027, 1.066
+    ct1, ct2, ct3 = 95000.0, 230000.0, 0.961
+    tm, tstd, bet = 314.0, 303.0, 0.09
+
+    eps = veg.eps[lutyp]              # (5,)
+    reciprod = 1.0 / (RGAS * tv * tstd)
+    ct = jnp.exp(ct1 * (tv - tstd) * reciprod) \
+        / (ct3 + jnp.exp(ct2 * (tv - tm) * reciprod))
+    par = apar * 4.6
+    cl = alpha * cl1 * par * (1.0 + alpha * alpha * par * par) ** (-0.5)
+    gamma_rest = jnp.exp(bet * (tv - tstd))
+    gamma = jnp.concatenate([jnp.reshape(cl * ct, (1,)),
+                             jnp.broadcast_to(gamma_rest, (4,))])
+    elai = jnp.maximum(0.0, -6.5 / 2.5
+                       * jnp.log(jnp.maximum(1.0 - vegfrac, MPE)))
+    density = elai / (jnp.maximum(veg.slarea[lutyp], MPE) * 0.5)
+    return eps * gamma * density

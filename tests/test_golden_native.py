@@ -131,3 +131,23 @@ def test_jarvis_and_runoff3_trajectory(params):
     opts = Options(crs=2, run=3, inf=2)
     compare(params, opts, static, mkforcing(n, prcp=0.002),
             init_state(n), 900.0, 24, cols=[0])
+
+
+@pytest.mark.parametrize("opts,lutyp,sltyp", [
+    (Options(frz=2), 7, 6),
+    (Options(rad=2), 11, 8),
+    (Options(rad=3), 11, 8),
+    (Options(snf=2, tbot=1), 7, 6),
+    (Options(snf=3, stc=2), 7, 6),
+    (Options(alb=1, sfc=2), 14, 4),
+    (Options(veg=1), 7, 6),
+    (Options(veg=2, crs=1), 11, 8),
+    (Options(veg=3, btr=2, run=2), 7, 6),
+    (Options(btr=3, run=4), 5, 9),
+])
+def test_option_combo_trajectory(params, opts, lutyp, sltyp):
+    """Broad option-matrix parity vs the serial C++ reference."""
+    n = 2
+    static = init_static(n, lutyp=lutyp, sltyp=sltyp)
+    compare(params, opts, static, mkforcing(n, prcp=0.0015),
+            init_state(n), 900.0, 12, cols=[0])
