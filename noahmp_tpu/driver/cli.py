@@ -21,10 +21,15 @@ def main(argv=None):
     parser.add_argument("--points", type=int, default=None,
                         help="number of land points when no domain file "
                         "is present")
+    parser.add_argument("--check-budgets", type=int, default=0,
+                        metavar="N",
+                        help="assert energy/water conservation every N "
+                        "steps (0 = off)")
     args = parser.parse_args(argv)
 
     cfg = Config.from_namelist(args.nmlfile)
-    run_offline(cfg, n_points=args.points)
+    run_offline(cfg, n_points=args.points,
+                check_budgets_every=args.check_budgets)
 
 
 if __name__ == "__main__":

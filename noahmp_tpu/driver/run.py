@@ -22,9 +22,12 @@ from . import io as io_mod
 
 
 def run_offline(cfg: Config, verbose=True, forcing_provider=None,
-                static=None, state=None, n_points=None):
+                static=None, state=None, n_points=None,
+                check_budgets_every: int = 0):
     """Run the offline case described by ``cfg``.  Returns
-    (final_state, output_files)."""
+    (final_state, output_files).  ``check_budgets_every`` > 0 asserts
+    the conservation residuals every N steps (the reference's runtime
+    self-checks, SURVEY.md section 4)."""
     params = load_params(cfg.veg_scheme, cfg.soil_scheme)
 
     if static is None:
@@ -62,6 +65,9 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
         state, flux = step(static, forcing, state)
         when = when + cfg.timestep
         nsteps += 1
+        if check_budgets_every and nsteps % check_budgets_every == 0:
+            from .. import utils
+            utils.check_budgets(flux, ist=static.ist)
         writer.push(when, flux, state)
         if (when.timestamp() % res_secs) == 0:
             io_mod.save_restart(

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import MPE, SB, CPAIR, KARMAN, TFRZ
+from .. import tuning
 from . import sfc
 
 NITERC = 20   # canopy Newton iterations (func:2675)
@@ -249,7 +250,8 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
         c2, _ = iteration(c, jnp.zeros((), bool), it_ge5, rssun, rssha)
         return c2
 
-    c = lax.fori_loop(0, NITERC - 1, body, c)
+    c = lax.fori_loop(0, NITERC - 1, body, c,
+                      unroll=tuning.hot_loop_unroll())
 
     # under-canopy ground energy balance (func:2879-2914)
     air_g = -emg * (1.0 - emv) * lwdn - emg * emv * SB * c.tv ** 4
@@ -275,7 +277,8 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
         return tg + dtg, irg, shg, evg, gh, estg
 
     tg, irg, shg, evg, gh, estg = lax.fori_loop(
-        0, NITERG, gbody, (tg0, z, z, z, z, estg))
+        0, NITERG, gbody, (tg0, z, z, z, z, estg),
+        unroll=tuning.hot_loop_unroll())
 
     # snow-surface temperature cap (func:2920-2928)
     if opts.stc == 1:
@@ -396,7 +399,8 @@ def bare_flux(veg, gen, lutyp, opts, dt, sag, lwdn, ur, uu, vv, sfctmp,
                  shb=shb, evb=evb, ghb=ghb, estg=estg2, fv=fv, fh2=fh2,
                  rahb=rahb, csh=csh, cev=cev, s1=s1, s2=s2)
 
-    c = lax.fori_loop(0, NITERB, body, init)
+    c = lax.fori_loop(0, NITERB, body, init,
+                      unroll=tuning.hot_loop_unroll())
 
     # snow cap (func:3225-3233)
     if opts.stc == 1:

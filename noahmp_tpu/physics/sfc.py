@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import MPE, GRAV, KARMAN, CPAIR, RGAS, TFRZ
+from .. import tuning
 
 
 def tdc(t):
@@ -334,7 +335,8 @@ def stomata(veg, lutyp, igs, sfcprs, sfctmp, apar, tv, ea, ei, o2, co2,
 
     z = jnp.zeros_like(co2)
     init = (z, 1.5 * co2, 1.0 / bp + z, z, jnp.zeros_like(co2, bool))
-    _, _, rs, psn, _ = lax.fori_loop(0, 20, body, init)
+    _, _, rs, psn, _ = lax.fori_loop(0, 20, body, init,
+                                     unroll=tuning.hot_loop_unroll())
     rs = rs * cf
 
     # nighttime / out-of-season early return (func:3799-3806)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import (MSNOW, NSOIL, NLEVELS, MPE, TFRZ, HFUS, GRAV)
+from .. import tuning
 from ..numerics.tridiag import thomas, masked_identity_rows
 
 _IDX = jnp.arange(NLEVELS)
@@ -113,7 +114,8 @@ def frh2o(soil, sltyp, tkelv, smc, swc):
         return swl_new, kcount | (dswl <= err)
 
     swl, kcount = lax.fori_loop(0, 10, body_safe,
-                                (swl0s, jnp.zeros_like(swl0s, bool)))
+                                (swl0s, jnp.zeros_like(swl0s, bool)),
+                                unroll=tuning.hot_loop_unroll())
     free_iter = smc - swl
 
     # Flerchinger explicit fallback when the iteration failed (func:4588-4595)
