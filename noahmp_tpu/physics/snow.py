@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..constants import (MSNOW, NSOIL, MPE, TFRZ, TTRI, CICE, CWAT,
                          HFUS, DENICE, DENWAT)
 
-_I3 = jnp.arange(MSNOW)
+def _i3():
+    return jnp.arange(MSNOW)
 
 # minimum thickness per layer position for the combine pass
 # (reference func:5272)
@@ -49,7 +50,7 @@ def _shift_down(x, p, top):
     """x[i] = x[i-1] for i in [top+1, p] (the reference's element shift
     after removing a layer, func:5308-5315)."""
     rolled = jnp.concatenate([x[:1], x[:-1]])
-    mask = (_I3 >= top + 1) & (_I3 <= p)
+    mask = (_i3() >= top + 1) & (_i3() <= p)
     return jnp.where(mask, rolled, x)
 
 
@@ -78,18 +79,18 @@ def snowfall(p: Pack, dt, qsnow, snowhin, sfctmp) -> Pack:
 
     create = no_layer & (snowh >= 0.025)
     bot = MSNOW - 1
-    dz = jnp.where(create & (_I3 == bot), snowh, p.dz)
-    stc = jnp.where(create & (_I3 == bot),
+    dz = jnp.where(create & (_i3() == bot), snowh, p.dz)
+    stc = jnp.where(create & (_i3() == bot),
                     jnp.minimum(TTRI, sfctmp), p.stc)
-    ice = jnp.where(create & (_I3 == bot), sneqv, p.ice)
-    liq = jnp.where(create & (_I3 == bot), 0.0, p.liq)
+    ice = jnp.where(create & (_i3() == bot), sneqv, p.ice)
+    liq = jnp.where(create & (_i3() == bot), 0.0, p.liq)
     nsnow = jnp.where(create, 1, p.nsnow)
     snowh = jnp.where(create, 0.0, snowh)
 
     # layered pack: add to the top layer
     add = (p.nsnow > 0) & (qsnow > 0.0)
     top = _top(p.nsnow)
-    is_top = _I3 == top
+    is_top = _i3() == top
     ice = jnp.where(add & is_top, ice + qsnow * dt, ice)
     dz = jnp.where(add & is_top, dz + snowhin * dt, dz)
 
@@ -104,7 +105,7 @@ def compact(p: Pack, dt, imelt3, ficeold) -> Pack:
     dm, eta0 = 100.0, 0.8e6
 
     top = _top(p.nsnow)
-    active = _I3 >= top
+    active = _i3() >= top
     wx = p.ice + p.liq
     fice = p.ice / jnp.maximum(wx, MPE)
     dzs = jnp.maximum(p.dz, MPE)
@@ -189,7 +190,7 @@ def combine(p: Pack) -> Pack:
     sice0 = jnp.where(neg, 0.0, sice0)
 
     multi = nsnow > 0
-    active = _I3 >= _top(nsnow)
+    active = _i3() >= _top(nsnow)
     zwice = jnp.sum(jnp.where(active, ice, 0.0))
     zwliq = jnp.sum(jnp.where(active, liq, 0.0))
     sneqv = jnp.where(multi, zwice + zwliq, sneqv)
@@ -207,12 +208,15 @@ def combine(p: Pack) -> Pack:
     top1 = _top(n1)
     mssi = jnp.zeros((), jnp.int32)
     exited = jnp.zeros((), bool)
-    dzmin = jnp.asarray(DZMIN, dz.dtype)
+    def dzmin_at(m):
+        # DZMIN[min(m, 2)] without an array constant (Pallas-safe)
+        return jnp.where(m >= 2, DZMIN[2],
+                         jnp.where(m == 1, DZMIN[1], DZMIN[0]))
     for pp in range(MSNOW):
         top_cur = _top(nsnow)
         was_active = (pp >= top1) & (n1 >= 2)
         thin = was_active & ~exited & \
-            (dz[pp] < dzmin[jnp.minimum(mssi, MSNOW - 1)])
+            (dz[pp] < dzmin_at(mssi))
 
         # neighbor choice (func:5369-5376)
         pi = jnp.asarray(pp)
@@ -259,7 +263,7 @@ def divide(p: Pack) -> Pack:
     (reference func:5416-5533).  Works on a top-aligned copy."""
     n = p.nsnow
     top = _top(n)
-    idx = jnp.clip(top + _I3, 0, MSNOW - 1)
+    idx = jnp.clip(top + _i3(), 0, MSNOW - 1)
     dz = p.dz[idx]       # dz[0] = top layer
     ice = p.ice[idx]
     liq = p.liq[idx]
@@ -326,7 +330,7 @@ def divide(p: Pack) -> Pack:
 
     # write back bottom-aligned (func:5521-5526)
     new_top = _top(msno)
-    k = _I3 - new_top            # top-aligned index for each slot
+    k = _i3() - new_top            # top-aligned index for each slot
     valid = k >= 0
     kc = jnp.clip(k, 0, MSNOW - 1)
     dz_b = jnp.where(valid, dz[kc], 0.0)
@@ -387,7 +391,7 @@ def snowh2o(p: Pack, dt, qsnfro, qsnsub, qrain, ssi) -> tuple:
     p = p._replace(liq=liq)
 
     # percolation top -> bottom (func:5784-5814)
-    active = _I3 >= _top(p.nsnow)
+    active = _i3() >= _top(p.nsnow)
     dzs = jnp.maximum(p.dz, MPE)
     vol_ice = jnp.minimum(1.0, p.ice / (dzs * DENICE))
     epore = 1.0 - vol_ice

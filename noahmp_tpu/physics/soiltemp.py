@@ -16,7 +16,8 @@ from ..constants import (MSNOW, NSOIL, NLEVELS, MPE, TFRZ, HFUS, GRAV)
 from .. import tuning
 from ..numerics.tridiag import thomas, masked_identity_rows
 
-_IDX = jnp.arange(NLEVELS)
+def _idx():
+    return jnp.arange(NLEVELS)
 
 
 def tsnosoi(dt, nsnow, tbot, zbot, zsnso, ssoil, df, hcpct, snowh, stc,
@@ -24,9 +25,9 @@ def tsnosoi(dt, nsnow, tbot, zbot, zsnso, ssoil, df, hcpct, snowh, stc,
     """Advance snow/soil temperatures one implicit step
     (reference func:3987-4237).  Returns new stc (NLEVELS,)."""
     top = MSNOW - nsnow
-    active = _IDX >= top
-    is_top = _IDX == top
-    is_bot = _IDX == NLEVELS - 1
+    active = _idx() >= top
+    is_top = _idx() == top
+    is_bot = _idx() == NLEVELS - 1
 
     zbotsno = zbot - snowh  # lower BC depth measured from snow surface
 
@@ -145,8 +146,8 @@ def phasechange(soil, sltyp, ist, dt, nsnow, fact, dzsnso, stc, snice,
                 opt_frz: int) -> PhaseChangeOut:
     """Melt/freeze of snow and soil water (reference func:4291-4491)."""
     top = MSNOW - nsnow
-    snow_active = (_IDX < MSNOW) & (_IDX >= top)
-    soil_slot = _IDX >= MSNOW
+    snow_active = (_idx() < MSNOW) & (_idx() >= top)
+    soil_slot = _idx() >= MSNOW
 
     dz = dzsnso
     dz_soil = dz[MSNOW:]
@@ -188,7 +189,7 @@ def phasechange(soil, sltyp, ist, dt, nsnow, fact, dzsnso, stc, snice,
                       2, imelt)
     # thin snow without a layer melts through the first soil slot
     bulk_snow = (nsnow == 0) & (sneqv > 0.0)
-    first_soil = _IDX == MSNOW
+    first_soil = _idx() == MSNOW
     imelt = jnp.where(bulk_snow & first_soil & (stc >= TFRZ), 1, imelt)
 
     # energy surplus/deficit (func:4406-4421)
@@ -245,7 +246,7 @@ def phasechange(soil, sltyp, ist, dt, nsnow, fact, dzsnso, stc, snice,
     mice = jnp.where(go, mice_new, mice)
     mliq = jnp.where(go, mliq_new, mliq)
     qmelt = qmelt + jnp.sum(
-        jnp.where(go & (_IDX < MSNOW),
+        jnp.where(go & (_idx() < MSNOW),
                   jnp.maximum(0.0, wice0 - mice) / dt, 0.0))
 
     snice_out = mice[:MSNOW]

@@ -14,3 +14,9 @@ HOT_LOOP_UNROLL = False
 
 def hot_loop_unroll() -> bool:
     return HOT_LOOP_UNROLL
+
+
+# Use the fused Pallas column kernel (pallas/column.py) instead of the
+# XLA vmapped step.  Interpret-mode validated; Mosaic compilation on
+# real TPUs pending evaluation (PERF.md lever 3).
+USE_PALLAS_STEP = False
