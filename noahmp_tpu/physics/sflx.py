@@ -159,7 +159,12 @@ def column_step(params, opts, static: Static, forcing: Forcing,
         rssun=en.rssun, rssha=en.rssha, bgap=en.bgap, wgap=en.wgap,
         tgv=en.tgv, tgb=en.tgb, chv=en.chv, chb=en.chb,
         emissi=en.emissi, t2mv=en.t2mv, t2mb=en.t2mb, q2v=en.q2v,
-        q2b=q2b, fpice=wt.fpice, errwat=errwat, errsw=errsw,
-        erreng=erreng)
+        q2b=q2b, fpice=wt.fpice,
+        irc=en.irc, irg=en.irg, irb=en.irb, shc=en.shc, shg=en.shg,
+        shb=en.shb, evc=en.evc, evg=en.evg, evb=en.evb, ghv=en.ghv,
+        ghb=en.ghb, tr=en.tr, chleaf=en.chleaf, chuc=en.chuc,
+        chv2=en.chv2, chb2=en.chb2, ponding1=wt.ponding1,
+        ponding2=wt.ponding2,
+        errwat=errwat, errsw=errsw, erreng=erreng)
 
     return new_state, flux

@@ -153,6 +153,25 @@ class Flux(NamedTuple):
     q2v: jnp.ndarray      # 2-m humidity, veg tile
     q2b: jnp.ndarray      # 2-m humidity, bare tile
     fpice: jnp.ndarray    # snow fraction of precipitation
+    # per-tile energy components (reference out-args func:252-263)
+    irc: jnp.ndarray      # canopy net LW [W m-2, + to atm]
+    irg: jnp.ndarray      # veg-tile ground net LW
+    irb: jnp.ndarray      # bare-tile net LW
+    shc: jnp.ndarray      # canopy sensible heat
+    shg: jnp.ndarray      # veg-tile ground sensible heat
+    shb: jnp.ndarray      # bare-tile sensible heat
+    evc: jnp.ndarray      # canopy evaporation heat
+    evg: jnp.ndarray      # veg-tile ground evaporation heat
+    evb: jnp.ndarray      # bare-tile evaporation heat
+    ghv: jnp.ndarray      # veg-tile ground heat flux
+    ghb: jnp.ndarray      # bare-tile ground heat flux
+    tr: jnp.ndarray       # transpiration heat
+    chleaf: jnp.ndarray   # leaf exchange coefficient
+    chuc: jnp.ndarray     # under-canopy exchange coefficient
+    chv2: jnp.ndarray     # 2-m exchange coefficient, veg tile
+    chb2: jnp.ndarray     # 2-m exchange coefficient, bare tile
+    ponding1: jnp.ndarray # snow-collapse ponding [mm]
+    ponding2: jnp.ndarray # shallow-pack collapse ponding [mm]
     # conservation diagnostics (reference aborts on |err|>0.01;
     # here returned for batched/psum checking, func:688-731)
     errwat: jnp.ndarray   # water balance residual [mm]
