@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..physics.sflx import column_step
-from ..state import State, Static, Forcing
 
 POINTS_AXIS = "points"
 

@@ -18,8 +18,8 @@ from typing import Dict, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import NSOIL, MSNOW
-from ..state import State, Static, Forcing, init_state, init_static
+from ..constants import NSOIL
+from ..state import State, Static, Forcing, init_state
 from . import solar
 
 STATE_FIELDS = State._fields

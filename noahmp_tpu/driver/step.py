@@ -7,13 +7,10 @@ sequential, SURVEY.md section 5).
 """
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
 from ..physics.sflx import column_step
-from ..state import State, Static, Forcing, Flux
 
 
 def make_step(params, opts, dt, jit=True, donate=True):

@@ -19,9 +19,6 @@ Mosaic compilation on real TPUs is gated behind
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -29,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params.gathered import gather_params, PreGathered
 from ..physics.sflx import column_step
-from ..state import State, Flux
+from ..state import Flux
 
 DEFAULT_BLOCK = 256
 

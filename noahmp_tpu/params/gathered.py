@@ -12,9 +12,8 @@ win for the XLA path.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
-from .tables import Params, VegParams, SoilParams, GenParams
+from .tables import Params, VegParams, SoilParams
 
 
 @jax.tree_util.register_pytree_node_class

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import (MSNOW, NSOIL, MPE, TFRZ, TTRI, CICE, CWAT,
+from ..constants import (MSNOW, MPE, TFRZ, TTRI, CICE, CWAT,
                          HFUS, DENICE, DENWAT)
 
 def _i3():

@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..constants import NSOIL, MSNOW, MPE
+from ..constants import NSOIL, MPE
 from ..numerics.tridiag import thomas
 
 

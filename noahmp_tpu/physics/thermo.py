@@ -13,7 +13,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..constants import (MSNOW, NSOIL, CICE, CWAT, CPAIR, TFRZ, TKICE,
+from ..constants import (MSNOW, CICE, CWAT, CPAIR, TFRZ, TKICE,
                          TKWAT, DENICE, DENWAT, MPE)
 
 

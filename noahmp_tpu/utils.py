@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Dict, Iterable
+from typing import Dict
 
 import numpy as np
 import jax
