@@ -48,8 +48,20 @@ def main():
     dt = time.perf_counter() - t0
 
     pts_per_sec = n * nsteps / dt
-    # serial reference estimate: O(50k) column-steps/sec on one CPU core
-    baseline = 5.0e4
+
+    # baseline: the serial C++ reference column on one host CPU core
+    # (the reference model is a serial CPU column; measured live)
+    try:
+        from noahmp_tpu import native
+        pb, ob, sb, fb, stb = (params, opts,
+                               jax.tree.map(lambda x: x[:256], static),
+                               jax.tree.map(lambda x: x[:256], forcing),
+                               jax.tree.map(lambda x: x[:256], state))
+        baseline = native.bench_native(pb, ob, sb, fb, stb, steps=5,
+                                       threads=1)
+    except Exception:
+        baseline = 2.5e5  # measured fallback (PERF.md)
+
     print(json.dumps({
         "metric": "land-point-steps/sec/chip",
         "value": round(pts_per_sec, 1),

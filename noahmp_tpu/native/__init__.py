@@ -117,8 +117,14 @@ def build(force: bool = False) -> str:
             and all(os.path.getmtime(_SO_PATH) >= os.path.getmtime(d)
                     for d in deps)):
         return _SO_PATH
-    subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-o", _SO_PATH,
-                    src], check=True, cwd=_NATIVE_DIR)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-fopenmp", "-o",
+           _SO_PATH, src]
+    try:
+        subprocess.run(cmd, check=True, cwd=_NATIVE_DIR)
+    except subprocess.CalledProcessError:
+        # toolchains without OpenMP: serial fallback
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, cwd=_NATIVE_DIR)
     return _SO_PATH
 
 
@@ -246,3 +252,58 @@ def step_column(params, opts: Options, static: Static,
                     f(dt), ct.byref(cs), ct.byref(cx))
     flux = {k: float(getattr(cx, k)) for k in FLUX_FIELDS}
     return state_from_c(cs), flux
+
+
+def load_batch():
+    lib = load()
+    if not hasattr(lib.noahmp_step_batch, "_configured"):
+        lib.noahmp_step_batch.argtypes = [
+            ct.POINTER(CColParams), ct.POINTER(COpts),
+            ct.POINTER(CForcing), f, ct.POINTER(CState),
+            ct.POINTER(CFlux), ct.c_int64]
+        lib.noahmp_step_batch.restype = None
+        lib.noahmp_step_batch._configured = True
+    return lib
+
+
+def set_threads(n: int):
+    """Set OpenMP thread count for noahmp_step_batch (no-op if the
+    library was built without OpenMP)."""
+    lib = load()
+    try:
+        lib.omp_set_num_threads(ct.c_int(n))
+    except AttributeError:
+        pass
+
+
+def make_batch(params, opts: Options, static: Static,
+               forcing: Forcing, state: State):
+    """Build C arrays for a whole batch (one-time conversion cost)."""
+    n = int(np.asarray(static.lat).shape[0])
+    cp = (CColParams * n)()
+    cf = (CForcing * n)()
+    cs = (CState * n)()
+    cx = (CFlux * n)()
+    for i in range(n):
+        cp[i] = gather_col_params(params, static, i)
+        cf[i] = forcing_to_c(forcing, i)
+        cs[i] = state_to_c(state, i)
+    return opts_to_c(opts), cp, cf, cs, cx
+
+
+def bench_native(params, opts: Options, static: Static,
+                 forcing: Forcing, state: State, steps: int = 10,
+                 threads: int = 1) -> float:
+    """Measure native column-steps/sec (state advances in place)."""
+    import time
+    lib = load_batch()
+    co, cp, cf, cs, cx = make_batch(params, opts, static, forcing,
+                                    state)
+    n = len(cp)
+    set_threads(threads)
+    lib.noahmp_step_batch(cp, ct.byref(co), cf, f(900.0), cs, cx, n)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        lib.noahmp_step_batch(cp, ct.byref(co), cf, f(900.0), cs, cx, n)
+    dt = time.perf_counter() - t0
+    return n * steps / dt

@@ -151,3 +151,49 @@ def test_option_combo_trajectory(params, opts, lutyp, sltyp):
     static = init_static(n, lutyp=lutyp, sltyp=sltyp)
     compare(params, opts, static, mkforcing(n, prcp=0.0015),
             init_state(n), 900.0, 12, cols=[0])
+
+
+def test_stochastic_regime_fuzz(params):
+    """Randomized multi-regime forcing vs the serial C++ oracle: each
+    step draws new weather (warm/cold/rainy/snowy/night), hunting
+    masked-vs-serial divergences across regime transitions."""
+    rng = np.random.default_rng(42)
+    n = 1
+    static = init_static(n, lutyp=7, sltyp=6)
+    state = init_state(n, tg=278.0, tv=278.0, stc_soil=278.0)
+    step = make_step(params, Options(), 900.0, donate=False)
+
+    st_j = state
+    st_n = state
+    for t in range(60):
+        sfctmp = rng.uniform(255.0, 300.0)
+        day = rng.random() < 0.5
+        f = mkforcing(
+            n, sfctmp=sfctmp,
+            prcp=float(rng.choice([0.0, 0.0005, 0.003])),
+            soldn=float(rng.uniform(200.0, 800.0)) if day else 0.0,
+            cosz=float(rng.uniform(0.2, 0.9)) if day else -0.2,
+            lwdn=float(rng.uniform(220.0, 380.0)),
+            q2=float(rng.uniform(0.001, 0.01)),
+            uu=float(rng.uniform(0.5, 10.0)))
+        st_j, _ = step(static, f, st_j)
+        sn, _fl = native.step_column(params, Options(), static, f, st_n,
+                                     0, 900.0)
+        upd = {}
+        for name in State._fields:
+            ref = np.asarray(getattr(st_n, name)).copy()
+            ref[0] = sn[name]
+            upd[name] = jnp.asarray(ref)
+        st_n = State(**upd)
+
+        np.testing.assert_allclose(
+            float(st_j.tg[0]), sn["tg"], atol=1.0,
+            err_msg=f"tg diverged at step {t} (sfctmp={sfctmp:.1f})")
+        np.testing.assert_allclose(
+            np.asarray(st_j.swc[0]), sn["swc"], atol=0.01,
+            err_msg=f"swc diverged at step {t}")
+        np.testing.assert_allclose(
+            float(st_j.sneqv[0]), sn["sneqv"], atol=2.0,
+            err_msg=f"sneqv diverged at step {t}")
+        assert int(st_j.nsnow[0]) == int(sn["nsnow"]), \
+            f"layer count diverged at step {t}"
