@@ -146,7 +146,9 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
             fh2 = s1.fh2
             s2 = c.s2
         else:
-            s2 = sfc.sfcdif2(first, c.s2._replace(akms=c.cm, akhs=c.ch),
+            scale = ur if tuning.chen97_fixed_carry() else 1.0
+            s2 = sfc.sfcdif2(first, c.s2._replace(akms=c.cm * scale,
+                                                  akhs=c.ch * scale),
                              z0m, c.tah, thair, ur, gen.czil, zlvl)
             cm = s2.akms / ur
             ch = s2.akhs / ur
@@ -360,7 +362,9 @@ def bare_flux(veg, gen, lutyp, opts, dt, sag, lwdn, ur, uu, vv, sfctmp,
             fh2 = s1.fh2
             s2 = c.s2
         else:
-            s2 = sfc.sfcdif2(first, c.s2._replace(akms=c.cm, akhs=c.ch),
+            scale = ur if tuning.chen97_fixed_carry() else 1.0
+            s2 = sfc.sfcdif2(first, c.s2._replace(akms=c.cm * scale,
+                                                  akhs=c.ch * scale),
                              z0m, c.tgb, thair, ur, gen.czil, zlvl)
             cm = s2.akms / ur
             ch = s2.akhs / ur

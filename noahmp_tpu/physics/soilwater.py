@@ -10,6 +10,7 @@ The reference's data-dependent sub-step count (3 or 6) becomes a fixed
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import NSOIL, MPE
@@ -318,10 +319,14 @@ def groundwater(soil, gen, sltyp, dt, zsoil, sice, wcnd, fcrmax, swc,
     qdis = (1.0 - fcrmax) * 5.0 * jnp.exp(-gen.timean) \
         * jnp.exp(-6.0 * (zwt - 2.0))
 
-    s_node = jnp.clip(smc[jwt] / smcmax, 0.01, 1.0)
-    smpfz = -soil.psisat[sltyp] * 1000.0 * s_node \
-        ** (-soil.bexp[sltyp])
-    smpfz = jnp.maximum(-120000.0, cmic * smpfz)
+    # The reference computes S_NODE in real*8 (its one double-precision
+    # variable, func:6501).  Promote the matric-potential term to f64
+    # when x64 is enabled; on TPU (f32-only) this is a no-op.
+    hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    s_node = jnp.clip(smc[jwt].astype(hi) / smcmax.astype(hi), 0.01, 1.0)
+    smpfz = -soil.psisat[sltyp].astype(hi) * 1000.0 * s_node \
+        ** (-soil.bexp[sltyp].astype(hi))
+    smpfz = jnp.maximum(-120000.0, cmic * smpfz).astype(smc.dtype)
 
     ka = hk[jwt]
     wh_zwt = -zwt * 1.0e3

@@ -20,3 +20,17 @@ def hot_loop_unroll() -> bool:
 # XLA vmapped step.  Interpret-mode validated; Mosaic compilation on
 # real TPUs pending evaluation (PERF.md lever 3).
 USE_PALLAS_STEP = False
+
+
+# Chen97 (opt_sfc=2) carry correction.  The reference divides the
+# sfcdif2 conductances AKMS/AKHS by the wind speed after every call
+# ("CM = CM / UR", func:2769-2771, 3155-3157) but feeds the now
+# dimensionless CM/CH straight back in as conductances on the next
+# iteration/timestep.  Default False reproduces that quirk bit-for-bit;
+# True re-multiplies by UR when seeding the carry (dimensionally
+# consistent Chen97).
+CHEN97_FIXED_CARRY = False
+
+
+def chen97_fixed_carry() -> bool:
+    return CHEN97_FIXED_CARRY

@@ -184,3 +184,30 @@ def test_heterogeneous_types(params):
     # land points (ist==1) must close the water budget
     land = np.asarray(static.ist) == 1
     assert np.all(np.abs(np.asarray(flux.errwat))[land] < 0.2)
+
+
+def test_chen97_fixed_carry(params):
+    """opt_sfc=2 with the dimensionally-consistent Chen97 carry
+    (tuning.CHEN97_FIXED_CARRY): budgets still close, results differ
+    from the quirk-compatible default."""
+    from noahmp_tpu import tuning
+
+    n = 4
+    opts = Options(sfc=2)
+    static = init_static(n, lutyp=7, sltyp=6)
+
+    state_q, flux_q = run_steps(params, opts, static, init_state(n),
+                                mkforcing(n), 10)
+    try:
+        tuning.CHEN97_FIXED_CARRY = True
+        state_f, flux_f = run_steps(params, opts, static, init_state(n),
+                                    mkforcing(n), 10)
+    finally:
+        tuning.CHEN97_FIXED_CARRY = False
+
+    assert_budgets(flux_f)
+    # the fix changes the stability iteration's seed -> different CH
+    assert not np.allclose(np.asarray(state_f.ch), np.asarray(state_q.ch))
+    # but the physics stays in the same regime
+    assert np.allclose(np.asarray(state_f.tg), np.asarray(state_q.tg),
+                       atol=2.0)
