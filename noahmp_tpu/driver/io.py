@@ -2,11 +2,13 @@
 output writing, and restart files.
 
 The reference's intended file layout (run/case.nml: geo_em.d01.nc,
-init.nc, ldasin/, ldasout/, restart/) assumed NetCDF, which this image
-lacks; the same layout is supported with ``.npz`` payloads, and any
-``.nc`` path transparently falls back to a sibling ``.npz``.  Each npz
-maps variable name -> array; forcing files are named
-``ldasin/YYYYMMDDHH.npz`` like LDAS convention.
+init.nc, ldasin/, ldasout/, restart/) is NetCDF; ``driver/netcdf.py``
+implements the format natively (classic read/write, NetCDF-4 read via
+h5py), so ``.nc`` paths are first-class here.  ``.npz`` payloads are
+supported alongside for cheap scratch runs, and a ``.nc`` path with a
+sibling ``.npz`` falls back transparently.  Either way a file maps
+variable name -> array; forcing files are named
+``ldasin/YYYYMMDDHH.nc`` like LDAS convention.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax.numpy as jnp
 
 from ..constants import NSOIL
 from ..state import State, Static, Forcing, init_state
-from . import solar
+from . import netcdf, solar
 
 STATE_FIELDS = State._fields
 
@@ -38,15 +40,16 @@ def load_arrays(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".npz"):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
-    raise ValueError(
-        f"unsupported input format for {path!r} (NetCDF support needs "
-        "the netCDF4 package, not present in this image; use .npz)")
+    if netcdf.sniff(path):
+        return netcdf.read_arrays(path)
+    raise ValueError(f"unsupported input format for {path!r} "
+                     "(expected NetCDF or .npz)")
 
 
 def save_arrays(path: str, arrays: Dict[str, np.ndarray]):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if path.endswith(".nc"):
-        path = path[:-3] + ".npz"
+        return netcdf.write_classic(path, arrays)
     np.savez_compressed(path, **arrays)
     return path
 
@@ -100,7 +103,10 @@ def save_restart(path: str, state: State, when: datetime.datetime):
 
 def load_restart(path: str):
     d = load_arrays(path)
-    when = datetime.datetime.fromisoformat(str(d.pop("_timestamp")))
+    ts = np.asarray(d.pop("_timestamp")).ravel()[0]
+    if isinstance(ts, bytes):
+        ts = ts.decode()
+    when = datetime.datetime.fromisoformat(str(ts))
     state = State(**{name: jnp.asarray(d[name])
                      for name in STATE_FIELDS})
     return state, when
@@ -232,10 +238,11 @@ class OutputWriter:
                  fields=("fsa", "fsr", "fira", "fsh", "fcev", "fgev",
                          "fctr", "ssoil", "trad", "ecan", "etran",
                          "edir", "runsrf", "runsub", "fsno", "albedo",
-                         "gpp", "nee")):
+                         "gpp", "nee"), fmt: str = "nc"):
         self.outdir = outdir
         self.outfreq = outfreq
         self.fields = fields
+        self.fmt = fmt
         self._acc: Optional[Dict[str, np.ndarray]] = None
         self._count = 0
         self._files = []
@@ -258,8 +265,9 @@ class OutputWriter:
             for name in ("tg", "tv", "sneqv", "snowh", "zwt", "smc",
                          "swc", "stc", "canliq", "canice", "lai"):
                 arrays[name] = np.asarray(getattr(state, name))
-            path = os.path.join(self.outdir,
-                                when.strftime("%Y%m%d%H%M") + ".npz")
+            path = os.path.join(
+                self.outdir,
+                when.strftime("%Y%m%d%H%M") + "." + self.fmt)
             self._files.append(save_arrays(path, arrays))
             self._acc = None
         return self._files

@@ -1,0 +1,424 @@
+"""Self-contained NetCDF I/O (no netCDF4/xarray dependency).
+
+The reference's offline layout is NetCDF end to end (run/case.nml:
+``geo_em.d01.nc``, ``init.nc``, hourly ``ldasin/`` forcing, 3-hourly
+``ldasout/`` output, monthly ``restart/``), but the reference itself
+never implements the I/O (run/main.py parses the namelist and exits).
+This module implements the format natively:
+
+- classic NetCDF (CDF-1 magic ``CDF\\x01`` and the 64-bit-offset CDF-2
+  ``CDF\\x02``): full reader and writer in pure numpy, including record
+  (unlimited) dimensions on read;
+- NetCDF-4 (HDF5-based, magic ``\\x89HDF``): reader via ``h5py`` when
+  available (gated import).
+
+Byte layout follows the classic format spec (everything big-endian;
+names/values padded to 4-byte boundaries).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+# nc_type -> numpy dtype (big-endian on disk)
+_NC_BYTE, _NC_CHAR, _NC_SHORT, _NC_INT, _NC_FLOAT, _NC_DOUBLE = range(1, 7)
+_DTYPES = {
+    _NC_BYTE: np.dtype(">i1"), _NC_CHAR: np.dtype("S1"),
+    _NC_SHORT: np.dtype(">i2"), _NC_INT: np.dtype(">i4"),
+    _NC_FLOAT: np.dtype(">f4"), _NC_DOUBLE: np.dtype(">f8"),
+}
+_SIZES = {_NC_BYTE: 1, _NC_CHAR: 1, _NC_SHORT: 2, _NC_INT: 4,
+          _NC_FLOAT: 4, _NC_DOUBLE: 8}
+_TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
+
+
+class NcVar(NamedTuple):
+    dims: Tuple[str, ...]
+    data: np.ndarray
+    attrs: Dict[str, object]
+
+
+class NcDataset(NamedTuple):
+    dims: Dict[str, int]
+    variables: Dict[str, NcVar]
+    attrs: Dict[str, object]
+
+
+def sniff(path: str) -> Optional[str]:
+    """Return 'classic' | 'hdf5' | None by magic bytes."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError:
+        return None
+    if magic[:3] == b"CDF" and magic[3:4] in (b"\x01", b"\x02"):
+        return "classic"
+    if magic == b"\x89HDF":
+        return "hdf5"
+    return None
+
+
+# ---------------------------------------------------------------------
+# classic reader
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.buf[self.pos:self.pos + n]
+        self.pos += (n + 3) & ~3
+        return s.decode("utf-8")
+
+    def values(self):
+        nct = self.i4()
+        n = self.i4()
+        nbytes = n * _SIZES[nct]
+        raw = self.buf[self.pos:self.pos + nbytes]
+        self.pos += (nbytes + 3) & ~3
+        if nct == _NC_CHAR:
+            return raw.decode("utf-8", "replace")
+        return np.frombuffer(raw, _DTYPES[nct]).astype(
+            _DTYPES[nct].newbyteorder("="))
+
+    def att_list(self) -> Dict[str, object]:
+        tag = self.i4()
+        n = self.i4()
+        assert tag in (_TAG_ATT, 0) and (tag or n == 0), "bad att tag"
+        out = {}
+        for _ in range(n):
+            nm = self.name()
+            out[nm] = self.values()
+        return out
+
+
+def read_classic(path: str) -> NcDataset:
+    """Parse a CDF-1/CDF-2 file fully into memory."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:3] != b"CDF":
+        raise ValueError(f"{path!r} is not classic NetCDF")
+    version = buf[3]
+    r = _Reader(buf)
+    r.pos = 4
+    numrecs = r.i4()
+
+    tag = r.i4()
+    ndims = r.i4()
+    assert tag in (_TAG_DIM, 0) and (tag or ndims == 0), "bad dim tag"
+    dim_names: List[str] = []
+    dim_sizes: List[int] = []
+    rec_dim = -1
+    for i in range(ndims):
+        nm = r.name()
+        sz = r.i4()
+        if sz == 0:
+            rec_dim = i
+        dim_names.append(nm)
+        dim_sizes.append(sz)
+
+    gatts = r.att_list()
+
+    tag = r.i4()
+    nvars = r.i4()
+    assert tag in (_TAG_VAR, 0) and (tag or nvars == 0), "bad var tag"
+    headers = []
+    for _ in range(nvars):
+        nm = r.name()
+        nd = r.i4()
+        dimids = [r.i4() for _ in range(nd)]
+        vatts = r.att_list()
+        nct = r.i4()
+        vsize = r.i4()
+        begin = r.i8() if version == 2 else r.i4()
+        headers.append((nm, dimids, vatts, nct, vsize, begin))
+
+    # record-variable bookkeeping: per-record slab size
+    rec_vars = [h for h in headers if h[1] and h[1][0] == rec_dim]
+    recsize = sum(h[4] for h in rec_vars)
+    if len(rec_vars) == 1:  # spec special case: no inter-record padding
+        h = rec_vars[0]
+        shape1 = [dim_sizes[d] for d in h[1][1:]]
+        recsize = int(np.prod(shape1, dtype=np.int64)) * _SIZES[h[3]]
+
+    variables: Dict[str, NcVar] = {}
+    for nm, dimids, vatts, nct, vsize, begin in headers:
+        dt = _DTYPES[nct]
+        is_rec = bool(dimids) and dimids[0] == rec_dim
+        if is_rec:
+            shape1 = [dim_sizes[d] for d in dimids[1:]]
+            per_rec = int(np.prod(shape1, dtype=np.int64))
+            out = np.empty([numrecs] + shape1, dt)
+            for rec in range(numrecs):
+                off = begin + rec * recsize
+                out[rec] = np.frombuffer(
+                    buf, dt, per_rec, off).reshape(shape1)
+            data = out
+            shape = [numrecs] + shape1
+        else:
+            shape = [dim_sizes[d] for d in dimids]
+            count = int(np.prod(shape, dtype=np.int64))
+            data = np.frombuffer(buf, dt, count, begin).reshape(shape)
+        if nct == _NC_CHAR:
+            data = data.view(f"S{shape[-1] or 1}")[..., 0] \
+                if shape else data
+        else:
+            data = data.astype(dt.newbyteorder("="))
+        variables[nm] = NcVar(tuple(dim_names[d] for d in dimids),
+                              np.asarray(data), vatts)
+
+    dims = {nm: (numrecs if i == rec_dim else sz)
+            for i, (nm, sz) in enumerate(zip(dim_names, dim_sizes))}
+    return NcDataset(dims, variables, gatts)
+
+
+# ---------------------------------------------------------------------
+# classic writer
+
+def _nc_type_of(arr: np.ndarray) -> Tuple[int, np.ndarray]:
+    k = arr.dtype.kind
+    if k in "SU":
+        b = np.char.encode(arr.astype(str), "utf-8") if k == "U" else arr
+        b = np.atleast_1d(b)
+        width = max(1, b.dtype.itemsize)
+        return _NC_CHAR, b.view("S1").reshape(b.shape + (width,))
+    if k == "b":
+        return _NC_BYTE, arr.astype(">i1")
+    if k in "iu":
+        if arr.dtype.itemsize <= 1:
+            return _NC_BYTE, arr.astype(">i1")
+        if arr.dtype.itemsize <= 2:
+            return _NC_SHORT, arr.astype(">i2")
+        return _NC_INT, arr.astype(">i4")
+    if arr.dtype == np.float64:
+        return _NC_DOUBLE, arr.astype(">f8")
+    return _NC_FLOAT, arr.astype(">f4")
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def i4(self, v: int):
+        self.parts.append(struct.pack(">i", v))
+
+    def name(self, s: str):
+        b = s.encode("utf-8")
+        self.i4(len(b))
+        self.parts.append(b + b"\x00" * (-len(b) % 4))
+
+    def values(self, v):
+        if isinstance(v, str):
+            b = v.encode("utf-8")
+            self.i4(_NC_CHAR)
+            self.i4(len(b))
+            self.parts.append(b + b"\x00" * (-len(b) % 4))
+            return
+        arr = np.atleast_1d(np.asarray(v))
+        nct, enc = _nc_type_of(arr)
+        self.i4(nct)
+        self.i4(arr.size)
+        raw = enc.tobytes()
+        self.parts.append(raw + b"\x00" * (-len(raw) % 4))
+
+    def att_list(self, attrs: Dict[str, object]):
+        if not attrs:
+            self.i4(0)
+            self.i4(0)
+            return
+        self.i4(_TAG_ATT)
+        self.i4(len(attrs))
+        for k, v in attrs.items():
+            self.name(k)
+            self.values(v)
+
+
+def write_classic(path: str, arrays: Dict[str, np.ndarray], *,
+                  dims: Optional[Dict[str, int]] = None,
+                  var_dims: Optional[Dict[str, Tuple[str, ...]]] = None,
+                  attrs: Optional[Dict[str, object]] = None,
+                  var_attrs: Optional[Dict[str, Dict[str, object]]] = None):
+    """Write ``arrays`` as a CDF-1 (or CDF-2 when data demands) file.
+
+    Dimensions default to auto-named by size (``n<size>``); pass
+    ``dims``/``var_dims`` for named ones (e.g. points/nsoil/time).  All
+    dimensions are fixed (no unlimited dim) — readers, including
+    :func:`read_classic`, treat that identically.
+    """
+    dims = dict(dims or {})
+    var_dims = dict(var_dims or {})
+    size2name = {v: k for k, v in dims.items()}
+
+    encoded: Dict[str, Tuple[int, np.ndarray, Tuple[str, ...]]] = {}
+    for nm, a in arrays.items():
+        a = np.asarray(a)
+        nct, enc = _nc_type_of(a)
+        dnames = var_dims.get(nm)
+        if dnames is None:
+            dnames = []
+            for ax, s in enumerate(enc.shape):
+                if s not in size2name:
+                    cand = f"n{s}"
+                    while cand in dims and dims[cand] != s:
+                        cand = "_" + cand
+                    dims[cand] = s
+                    size2name[s] = cand
+                dnames.append(size2name[s])
+            dnames = tuple(dnames)
+        else:
+            if nct == _NC_CHAR and len(dnames) == len(enc.shape) - 1:
+                dnames = tuple(dnames) + (f"slen{enc.shape[-1]}",)
+            for dn, s in zip(dnames, enc.shape):
+                dims.setdefault(dn, s)
+                if dims[dn] != s:
+                    raise ValueError(
+                        f"dim {dn}={dims[dn]} vs {nm} axis of {s}")
+        encoded[nm] = (nct, enc, tuple(dnames))
+
+    dim_names = list(dims)
+    dim_index = {nm: i for i, nm in enumerate(dim_names)}
+
+    w = _Writer()
+    w.parts.append(b"CDF\x01")
+    w.i4(0)  # numrecs (no record dim)
+    if dims:
+        w.i4(_TAG_DIM)
+        w.i4(len(dims))
+        for nm in dim_names:
+            w.name(nm)
+            w.i4(dims[nm])
+    else:
+        w.i4(0)
+        w.i4(0)
+    w.att_list(attrs or {})
+
+    # variable headers need begin offsets: two-pass (fixed-width begins)
+    w.i4(_TAG_VAR)
+    w.i4(len(encoded))
+    header_parts = w.parts
+
+    slabs: List[bytes] = []
+    var_entries: List[bytes] = []
+    for nm, (nct, enc, dnames) in encoded.items():
+        vw = _Writer()
+        vw.name(nm)
+        vw.i4(len(dnames))
+        for dn in dnames:
+            vw.i4(dim_index[dn])
+        vw.att_list((var_attrs or {}).get(nm, {}))
+        vw.i4(nct)
+        raw = enc.tobytes()
+        raw += b"\x00" * (-len(raw) % 4)
+        vw.i4(min(len(raw), 2**31 - 5))
+        var_entries.append(b"".join(vw.parts))
+        slabs.append(raw)
+
+    def assemble(version: int):
+        bw = 8 if version == 2 else 4
+        fmt = ">q" if version == 2 else ">i"
+        begin = sum(len(p) for p in header_parts) \
+            + sum(len(e) + bw for e in var_entries)
+        out = list(header_parts)
+        out[0] = b"CDF" + (b"\x02" if version == 2 else b"\x01")
+        for entry, raw in zip(var_entries, slabs):
+            out.append(entry)
+            out.append(struct.pack(fmt, begin))
+            begin += len(raw)
+        out.extend(slabs)
+        return out, begin
+
+    out, end = assemble(1)
+    if end > 2**31 - 1:  # offsets overflow CDF-1 -> 64-bit-offset CDF-2
+        out, end = assemble(2)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+    return path
+
+
+# ---------------------------------------------------------------------
+# NetCDF-4 (HDF5) reader via h5py, gated
+
+def read_hdf5(path: str) -> NcDataset:
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise ValueError(
+            f"{path!r} is NetCDF-4/HDF5 and h5py is unavailable") from e
+
+    dims: Dict[str, int] = {}
+    variables: Dict[str, NcVar] = {}
+
+    def clean_attrs(obj):
+        out = {}
+        for k, v in obj.attrs.items():
+            if k in ("DIMENSION_LIST", "REFERENCE_LIST", "CLASS",
+                     "NAME", "_Netcdf4Dimid", "_Netcdf4Coordinates"):
+                continue
+            out[k] = v.decode() if isinstance(v, bytes) else v
+        return out
+
+    with h5py.File(path, "r") as f:
+        gatts = clean_attrs(f)
+
+        def visit(name, obj):
+            if not isinstance(obj, h5py.Dataset):
+                return
+            is_scale = obj.attrs.get("CLASS") == b"DIMENSION_SCALE"
+            short = name.split("/")[-1]
+            if is_scale:
+                dims[short] = obj.shape[0] if obj.shape else 1
+                # pure placeholder scales carry no data worth keeping
+                if obj.attrs.get("NAME", b"").startswith(
+                        b"This is a netCDF dimension"):
+                    return
+            dnames = []
+            if "DIMENSION_LIST" in obj.attrs:
+                for ax_refs in obj.attrs["DIMENSION_LIST"]:
+                    ref = ax_refs[0] if len(ax_refs) else None
+                    dnames.append(
+                        f[ref].name.split("/")[-1] if ref else "?")
+            else:
+                dnames = [f"phony_dim_{s}" for s in obj.shape]
+            for dn, s in zip(dnames, obj.shape):
+                dims.setdefault(dn, s)
+            variables[name] = NcVar(tuple(dnames), obj[()],
+                                    clean_attrs(obj))
+
+        f.visititems(visit)
+    return NcDataset(dims, variables, gatts)
+
+
+# ---------------------------------------------------------------------
+# unified front door
+
+def read(path: str) -> NcDataset:
+    kind = sniff(path)
+    if kind == "classic":
+        return read_classic(path)
+    if kind == "hdf5":
+        return read_hdf5(path)
+    raise ValueError(f"{path!r} is not a NetCDF file")
+
+
+def read_arrays(path: str) -> Dict[str, np.ndarray]:
+    """name -> array for every variable (the io.py contract)."""
+    ds = read(path)
+    return {nm: v.data for nm, v in ds.variables.items()}

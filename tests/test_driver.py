@@ -119,6 +119,7 @@ def test_offline_run_short(tmp_path):
     cfg.indir = str(tmp_path / "noin")
     state, files = run_offline(cfg, verbose=False, n_points=4)
     assert len(files) == 2
-    out = np.load(files[0])
-    assert "fsh" in out.files and "tg" in out.files
+    assert files[0].endswith(".nc")  # real NetCDF ldasout
+    out = io_mod.load_arrays(files[0])
+    assert "fsh" in out and "tg" in out
     assert np.all(np.isfinite(out["tg"]))
