@@ -55,7 +55,19 @@ def save_arrays(path: str, arrays: Dict[str, np.ndarray]):
 
 
 def load_domain(path: str) -> Static:
-    """Static domain file -> Static pytree (batch axis = land points)."""
+    """Static domain file -> Static pytree (batch axis = land points).
+
+    WRF geogrid files (geo_em.d01.nc with XLAT_M/LU_INDEX 2-D fields)
+    are ingested via driver/geo.py; flat per-point files map names
+    directly."""
+    real = _npz_path(path)
+    if netcdf.sniff(real):
+        ds = netcdf.read(real)
+        names = {k.split("/")[-1].upper() for k in ds.variables}
+        if "LU_INDEX" in names and ("XLAT_M" in names
+                                    or "XLAT" in names):
+            from . import geo
+            return geo.static_from_geo_em(real)[0]
     d = load_arrays(path)
     n = len(np.atleast_1d(d["lat"]))
 
