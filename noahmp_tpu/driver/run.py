@@ -23,11 +23,21 @@ from . import io as io_mod
 
 def run_offline(cfg: Config, verbose=True, forcing_provider=None,
                 static=None, state=None, n_points=None,
-                check_budgets_every: int = 0):
+                check_budgets_every: int = 0, mesh=None,
+                use_orbax=None):
     """Run the offline case described by ``cfg``.  Returns
     (final_state, output_files).  ``check_budgets_every`` > 0 asserts
     the conservation residuals every N steps (the reference's runtime
-    self-checks, SURVEY.md section 4)."""
+    self-checks, SURVEY.md section 4).
+
+    ``mesh``: a jax.sharding.Mesh to shard the land-point axis over
+    (multi-chip/multi-host SPMD; see examples/multihost.py).
+    ``use_orbax``: write restarts with the async orbax checkpointer
+    (sharded-array capable) instead of single-host restart files;
+    defaults to True exactly when running sharded and orbax is present.
+    Orbax checkpoint steps are epoch seconds of the model time, so a
+    restarted run resumes at the checkpointed timestamp.
+    """
     params = load_params(cfg.veg_scheme, cfg.soil_scheme)
 
     if static is None:
@@ -36,6 +46,12 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
         else:
             static = init_static(n_points or 1)
     n = static.lat.shape[0]
+
+    from ..dist import checkpoint as ckpt_mod
+    if use_orbax is None:
+        use_orbax = mesh is not None and ckpt_mod.HAVE_ORBAX
+    ckpt = ckpt_mod.CheckpointManager(
+        os.path.join(cfg.resdir, "orbax")) if use_orbax else None
 
     when = cfg.begdatetime
     if state is None:
@@ -47,6 +63,21 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
         else:
             state = init_state(n)
 
+    if mesh is not None:
+        from ..dist.mesh import make_sharded_step, shard_batch
+        static = shard_batch(static, mesh)
+        state = shard_batch(state, mesh)
+        sharded = make_sharded_step(params, cfg.options, cfg.dt, mesh,
+                                    donate=False)
+        step = lambda st, f, s: sharded(st, f, s)[:2]  # noqa: E731
+    else:
+        step = make_step(params, cfg.options, cfg.dt, donate=False)
+
+    if cfg.restart and ckpt is not None \
+            and ckpt.latest_step() is not None:
+        state = ckpt.restore(template=state)
+        when = datetime.datetime.fromtimestamp(ckpt.latest_step())
+
     if forcing_provider is None:
         if os.path.isdir(cfg.indir) and os.listdir(cfg.indir):
             forcing_provider = io_mod.FileForcing(cfg.indir, cfg.infreq,
@@ -55,7 +86,6 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
             forcing_provider = io_mod.SyntheticForcing(static)
 
     writer = io_mod.OutputWriter(cfg.outdir, cfg.outfreq)
-    step = make_step(params, cfg.options, cfg.dt, donate=False)
 
     res_secs = cfg.resfreq.total_seconds()
     t0 = time.perf_counter()
@@ -70,10 +100,17 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
             utils.check_budgets(flux, ist=static.ist)
         writer.push(when, flux, state)
         if (when.timestamp() % res_secs) == 0:
-            io_mod.save_restart(
-                os.path.join(cfg.resdir,
-                             "restart_" + when.strftime("%Y%m%d%H%M")
-                             + ".npz"), state, when)
+            if ckpt is not None:
+                # async save overlaps the next model steps
+                ckpt.save(int(when.timestamp()), state)
+            else:
+                io_mod.save_restart(
+                    os.path.join(
+                        cfg.resdir,
+                        "restart_" + when.strftime("%Y%m%d%H%M")
+                        + ".nc"), state, when)
+    if ckpt is not None:
+        ckpt.close()
     elapsed = time.perf_counter() - t0
 
     if verbose:

@@ -123,3 +123,44 @@ def test_offline_run_short(tmp_path):
     out = io_mod.load_arrays(files[0])
     assert "fsh" in out and "tg" in out
     assert np.all(np.isfinite(out["tg"]))
+
+
+def test_offline_run_sharded_with_orbax_resume(tmp_path):
+    """Sharded offline run over the 8-device mesh with async orbax
+    restarts; a second invocation resumes from the checkpoint and lands
+    on the same final state as an uninterrupted run."""
+    import jax
+    from noahmp_tpu.dist.mesh import make_mesh
+    from noahmp_tpu.driver.run import run_offline
+
+    mesh = make_mesh(jax.devices()[:8])
+    base = dict(verbose=False, n_points=16)
+
+    def cfg_for(resdir, hours):
+        cfg = Config.from_namelist(CASE)
+        cfg.enddatetime = cfg.begdatetime + datetime.timedelta(hours=hours)
+        cfg.outdir = str(tmp_path / "out")
+        cfg.resdir = str(resdir)
+        cfg.outfreq = datetime.timedelta(hours=6)
+        cfg.resfreq = datetime.timedelta(hours=1)
+        cfg.constfile = str(tmp_path / "nodomain.npz")
+        cfg.initfile = str(tmp_path / "noinit.npz")
+        cfg.indir = str(tmp_path / "noin")
+        return cfg
+
+    # uninterrupted 2h run
+    ref_state, _ = run_offline(cfg_for(tmp_path / "res_a", 2),
+                               mesh=mesh, **base)
+
+    # 1h run -> checkpoint at the 1h boundary -> resume to 2h
+    resdir = tmp_path / "res_b"
+    run_offline(cfg_for(resdir, 1), mesh=mesh, **base)
+    assert (resdir / "orbax").is_dir()
+    cfg2 = cfg_for(resdir, 2)
+    cfg2.restart = True
+    state2, _ = run_offline(cfg2, mesh=mesh, **base)
+
+    np.testing.assert_allclose(np.asarray(ref_state.tg),
+                               np.asarray(state2.tg), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_state.swc),
+                               np.asarray(state2.swc), atol=1e-6)
