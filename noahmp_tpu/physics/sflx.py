@@ -8,6 +8,7 @@ Written column-wise (0-d scalars + small layer vectors) and batched with
 ``jax.vmap`` in the driver.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import MSNOW, NSOIL, MPE
@@ -26,8 +27,10 @@ def column_step(params, opts, static: Static, forcing: Forcing,
     lutyp, sltyp = static.lutyp, static.sltyp
     zsoil = static.zsoil
 
-    a = atm_mod.atm(forcing.sfcprs, forcing.sfctmp, forcing.q2,
-                    forcing.prcp, forcing.soldn, forcing.cosz)
+    # jax.named_scope per phase -> readable jax.profiler traces
+    with jax.named_scope("atm"):
+        a = atm_mod.atm(forcing.sfcprs, forcing.sfctmp, forcing.q2,
+                        forcing.prcp, forcing.soldn, forcing.cosz)
 
     # layer thickness from zsnso (func:322-328)
     zs_prev = jnp.concatenate([jnp.zeros(1, st.zsnso.dtype),
@@ -51,14 +54,17 @@ def column_step(params, opts, static: Static, forcing: Forcing,
     beg_wb = (st.canliq + st.canice + st.sneqv + st.wa
               + jnp.sum(st.smc * dz_soil) * 1000.0)
 
-    ph = phen_mod.phenology(veg_p, lutyp, st.snowh, st.tv, static.lat,
-                            forcing.yearlen, forcing.julian, st.lai,
-                            st.sai, opts.veg)
-    fveg = phen_mod.green_fraction(veg_p, lutyp, static.shdfac,
-                                   static.shdmax, ph.lai, ph.sai,
-                                   ph.elai, ph.esai, opts.veg)
+    with jax.named_scope("phenology"):
+        ph = phen_mod.phenology(veg_p, lutyp, st.snowh, st.tv,
+                                static.lat, forcing.yearlen,
+                                forcing.julian, st.lai, st.sai,
+                                opts.veg)
+        fveg = phen_mod.green_fraction(veg_p, lutyp, static.shdfac,
+                                       static.shdmax, ph.lai, ph.sai,
+                                       ph.elai, ph.esai, opts.veg)
 
-    en = energy_mod.energy(
+    with jax.named_scope("energy"):
+        en = energy_mod.energy(
         params, opts, st, dt, st.nsnow, dzsnso, a.rhoair,
         forcing.sfcprs, forcing.sfcprs, a.qair, forcing.sfctmp,
         a.thair, forcing.lwdn, forcing.uu, forcing.vv, static.zlvl,
@@ -77,7 +83,8 @@ def column_step(params, opts, static: Static, forcing: Forcing,
     qdew = jnp.abs(jnp.minimum(en.fgev / en.latheag, 0.0))
     edir = qvap - qdew
 
-    wt = water_mod.water(
+    with jax.named_scope("water"):
+        wt = water_mod.water(
         params, opts, lutyp, sltyp, static.slptyp, static.ist, dt,
         zsoil, dzsnow, en.imelt[:MSNOW], forcing.uu, forcing.vv,
         en.fcev, en.fctr, a.qprecc, a.qprecl, ph.elai, ph.esai,
@@ -89,12 +96,13 @@ def column_step(params, opts, static: Static, forcing: Forcing,
 
     # carbon (func:439-447)
     if opts.veg in (2, 5):
-        cb = carbon_mod.carbon(
-            veg_p, lutyp, soil_p.smcmax[sltyp], dt, zsoil,
-            wt.dzsnso[MSNOW:], wt.stc, wt.smc, wt.tv, en.tg, en.psn,
-            forcing.foln, en.btran, en.apar, fveg, ph.igs, troot,
-            static.ist, ph.lai, ph.sai, st.lfmass, st.rtmass,
-            st.stmass, st.wood, st.stblcp, st.fastcp)
+        with jax.named_scope("carbon"):
+            cb = carbon_mod.carbon(
+                veg_p, lutyp, soil_p.smcmax[sltyp], dt, zsoil,
+                wt.dzsnso[MSNOW:], wt.stc, wt.smc, wt.tv, en.tg, en.psn,
+                forcing.foln, en.btran, en.apar, fveg, ph.igs, troot,
+                static.ist, ph.lai, ph.sai, st.lfmass, st.rtmass,
+                st.stmass, st.wood, st.stblcp, st.fastcp)
         lai_new, sai_new = cb.lai, cb.sai
         lfmass, rtmass, stmass = cb.lfmass, cb.rtmass, cb.stmass
         wood, stblcp, fastcp = cb.wood, cb.stblcp, cb.fastcp

@@ -118,11 +118,10 @@ def test_snow_trajectory(params):
     state = init_state(n, tg=266.0, tv=266.0, stc_soil=270.0)
     f = mkforcing(n, sfctmp=263.0, prcp=0.002, soldn=80.0, cosz=0.3,
                   lwdn=240.0, q2=0.002)
-    # slightly looser temperature tolerance: snow-layer temperatures
-    # feed back through conductivity; small f32 ordering differences
-    # accumulate
+    # measured masked-vs-serial divergence over 60 steps is <3e-4 K
+    # (f32 ordering only); 0.02 K keeps ~60x margin
     compare(params, Options(), static, f, state, 900.0, 60, cols=[0],
-            atol_t=0.5, atol_w=5e-3)
+            atol_t=0.02, atol_w=1e-3)
 
 
 def test_jarvis_and_runoff3_trajectory(params):
@@ -186,14 +185,20 @@ def test_stochastic_regime_fuzz(params):
             upd[name] = jnp.asarray(ref)
         st_n = State(**upd)
 
+        # tolerances: ~10x the divergence measured over 200-step runs
+        # across seeds {42, 7, 123} (max tg 0.0034 K, tv 0.011 K,
+        # swc 2.3e-6, sneqv 0.003 mm; zero layer-count divergences)
         np.testing.assert_allclose(
-            float(st_j.tg[0]), sn["tg"], atol=1.0,
+            float(st_j.tg[0]), sn["tg"], atol=0.05,
             err_msg=f"tg diverged at step {t} (sfctmp={sfctmp:.1f})")
         np.testing.assert_allclose(
-            np.asarray(st_j.swc[0]), sn["swc"], atol=0.01,
+            float(st_j.tv[0]), sn["tv"], atol=0.1,
+            err_msg=f"tv diverged at step {t}")
+        np.testing.assert_allclose(
+            np.asarray(st_j.swc[0]), sn["swc"], atol=1e-4,
             err_msg=f"swc diverged at step {t}")
         np.testing.assert_allclose(
-            float(st_j.sneqv[0]), sn["sneqv"], atol=2.0,
+            float(st_j.sneqv[0]), sn["sneqv"], atol=0.05,
             err_msg=f"sneqv diverged at step {t}")
         assert int(st_j.nsnow[0]) == int(sn["nsnow"]), \
             f"layer count diverged at step {t}"

@@ -89,3 +89,29 @@ def test_sharded_checkpoint_roundtrip(tmp_path, setup):
                                   np.asarray(st2.stc))
     assert mgr.latest_step() == 3
     mgr.close()
+
+
+def test_batch_minor_layout_matches_major(setup):
+    """The batch-minor layout (points on the 128-lane axis, PERF.md
+    lever 2) is bit-identical to the default batch-major layout."""
+    from noahmp_tpu.driver.step import batch_to_layout
+
+    params, static, forcing, state = setup
+    opts = Options()
+
+    s_major = make_step(params, opts, 900.0, donate=False)
+    s_minor = make_step(params, opts, 900.0, donate=False,
+                        layout="minor")
+
+    st_a, fl_a = s_major(static, forcing, state)
+    st_b, fl_b = s_minor(batch_to_layout(static, "minor"),
+                         batch_to_layout(forcing, "minor"),
+                         batch_to_layout(state, "minor"))
+    for name in st_a._fields:
+        a = np.asarray(getattr(st_a, name))
+        b = np.asarray(getattr(st_b, name))
+        if a.ndim > 1:
+            b = np.moveaxis(b, -1, 0)
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(fl_a.fsh),
+                                  np.asarray(fl_b.fsh))
