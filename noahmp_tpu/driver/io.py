@@ -140,11 +140,13 @@ class FileForcing(ForcingProvider):
     HOLD = ("prcp",)
 
     def __init__(self, indir: str, infreq: datetime.timedelta,
-                 static: Static):
+                 static: Static, prefetch: bool = True):
         self.indir = indir
         self.infreq = infreq
         self.static = static
+        self.prefetch = prefetch
         self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+        self._inflight = {}  # isoformat -> Thread
 
     def _fname(self, when: datetime.datetime) -> str:
         stamp = when.strftime("%Y%m%d%H")
@@ -159,11 +161,40 @@ class FileForcing(ForcingProvider):
 
     def _load(self, when: datetime.datetime) -> Dict[str, np.ndarray]:
         key = when.isoformat()
+        t = self._inflight.pop(key, None)
+        if t is not None:
+            t.join()
         if key not in self._cache:
-            if len(self._cache) > 4:
-                self._cache.pop(next(iter(self._cache)))
+            self._evict()
             self._cache[key] = load_arrays(self._fname(when))
         return self._cache[key]
+
+    def _evict(self):
+        try:
+            while len(self._cache) > 4:
+                self._cache.pop(next(iter(self._cache)), None)
+        except (StopIteration, RuntimeError):
+            pass  # concurrent mutation by the prefetch thread
+
+    def _prefetch(self, when: datetime.datetime):
+        """Read a forcing file on a background thread so the next
+        interval boundary doesn't stall the device-bound time loop."""
+        key = when.isoformat()
+        if key in self._cache or key in self._inflight:
+            return
+
+        def work():
+            try:
+                data = load_arrays(self._fname(when))
+            except FileNotFoundError:
+                return  # the run may end before this interval
+            self._evict()
+            self._cache[key] = data
+
+        import threading
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._inflight[key] = t
 
     def __call__(self, when: datetime.datetime) -> Forcing:
         secs = self.infreq.total_seconds()
@@ -173,6 +204,8 @@ class FileForcing(ForcingProvider):
         w = (when - t0).total_seconds() / secs
         d0 = self._load(t0)
         d1 = self._load(t1) if w > 0 else d0
+        if self.prefetch:
+            self._prefetch(t1 if w == 0 else t1 + self.infreq)
 
         n = self.static.lat.shape[0]
 
@@ -260,12 +293,14 @@ class OutputWriter:
         self._files = []
 
     def push(self, when: datetime.datetime, flux, state: State):
+        # accumulate on-device (async dispatch): transferring to host
+        # here would force a device sync every step
         if self._acc is None:
-            self._acc = {f: np.zeros_like(np.asarray(
-                getattr(flux, f), np.float64)) for f in self.fields}
+            self._acc = {f: jnp.zeros_like(getattr(flux, f))
+                         for f in self.fields}
             self._count = 0
         for f in self.fields:
-            self._acc[f] += np.asarray(getattr(flux, f), np.float64)
+            self._acc[f] = self._acc[f] + getattr(flux, f)
         self._count += 1
 
         secs = self.outfreq.total_seconds()

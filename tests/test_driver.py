@@ -164,3 +164,48 @@ def test_offline_run_sharded_with_orbax_resume(tmp_path):
                                np.asarray(state2.tg), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref_state.swc),
                                np.asarray(state2.swc), atol=1e-6)
+
+
+def test_file_forcing_interpolation_and_prefetch(tmp_path):
+    """Hourly NetCDF ldasin files: state-like fields linearly
+    interpolate to model time, precip holds over the interval, and the
+    background prefetch warms the cache."""
+    import time
+    from noahmp_tpu.driver import netcdf
+
+    indir = tmp_path / "ldasin"
+    indir.mkdir()
+    t0 = datetime.datetime(2000, 1, 1, 0, 0)
+    for h, (temp, pr) in enumerate([(280.0, 0.0), (290.0, 0.002),
+                                    (284.0, 0.001), (282.0, 0.0)]):
+        netcdf.write_classic(
+            str(indir / (t0 + datetime.timedelta(hours=h)
+                         ).strftime("%Y%m%d%H.nc")),
+            {"sfctmp": np.full(3, temp, np.float32),
+             "sfcprs": np.full(3, 9e4, np.float32),
+             "q2": np.full(3, 0.007, np.float32),
+             "uu": np.full(3, 2.0, np.float32),
+             "vv": np.full(3, 1.0, np.float32),
+             "soldn": np.full(3, 400.0, np.float32),
+             "lwdn": np.full(3, 330.0, np.float32),
+             "prcp": np.full(3, pr, np.float32)})
+
+    static = init_static(3, lat=0.6)
+    ff = io_mod.FileForcing(str(indir), datetime.timedelta(hours=1),
+                            static)
+    # on the boundary: exact file values
+    f = ff(t0 + datetime.timedelta(hours=1))
+    np.testing.assert_allclose(np.asarray(f.sfctmp), 290.0)
+    np.testing.assert_allclose(np.asarray(f.prcp), 0.002)
+    # mid-interval: linear interp for sfctmp, hold for prcp
+    f = ff(t0 + datetime.timedelta(minutes=90))
+    np.testing.assert_allclose(np.asarray(f.sfctmp), 287.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f.prcp), 0.002)
+    # prefetch of hour 3 should land in the cache shortly
+    deadline = time.time() + 5.0
+    key = (t0 + datetime.timedelta(hours=3)).isoformat()
+    while time.time() < deadline and key not in ff._cache:
+        time.sleep(0.05)
+    assert key in ff._cache
+    # cosz is computed, not read
+    assert np.all(np.abs(np.asarray(f.cosz)) <= 1.0)
