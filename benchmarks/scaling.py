@@ -40,7 +40,7 @@ def build(n, heterogeneous=False, seed=0):
     state = init_state(n)
 
     def rep(v):
-        return jnp.broadcast_to(jnp.float32(v), (n,))
+        return np.broadcast_to(np.float32(v), (n,))
     forcing = Forcing(
         sfctmp=rep(290.0), sfcprs=rep(90000.0), psfc=rep(90000.0),
         uu=rep(3.0), vv=rep(1.0), q2=rep(0.007), soldn=rep(500.0),

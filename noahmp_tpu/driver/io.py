@@ -73,15 +73,15 @@ def load_domain(path: str) -> Static:
 
     def get(name, default, dtype=np.float32):
         if name in d:
-            return jnp.asarray(np.broadcast_to(
+            return np.broadcast_to(
                 np.asarray(d[name], dtype), (n,)
-                if np.ndim(d[name]) <= 1 else d[name].shape))
-        return jnp.broadcast_to(jnp.asarray(default, dtype), (n,))
+                if np.ndim(d[name]) <= 1 else d[name].shape)
+        return np.broadcast_to(np.asarray(default, dtype), (n,))
 
     zsoil = d.get("zsoil", np.array([-0.1, -0.4, -1.0, -2.0],
                                     np.float32))
-    zsoil = jnp.broadcast_to(jnp.asarray(zsoil, jnp.float32),
-                             (n, NSOIL))
+    zsoil = np.broadcast_to(np.asarray(zsoil, np.float32),
+                            (n, NSOIL))
     return Static(
         lat=get("lat", 0.7), lutyp=get("lutyp", 7, np.int32),
         sltyp=get("sltyp", 6, np.int32),
@@ -100,9 +100,9 @@ def load_init(path: str, n: int) -> State:
     for name in STATE_FIELDS:
         if name in d:
             ref = getattr(st, name)
-            updates[name] = jnp.asarray(
-                np.broadcast_to(np.asarray(d[name], ref.dtype),
-                                ref.shape))
+            updates[name] = np.broadcast_to(
+                np.asarray(d[name], np.asarray(ref).dtype),
+                np.asarray(ref).shape)
     return st._replace(**updates)
 
 
@@ -119,7 +119,7 @@ def load_restart(path: str):
     if isinstance(ts, bytes):
         ts = ts.decode()
     when = datetime.datetime.fromisoformat(str(ts))
-    state = State(**{name: jnp.asarray(d[name])
+    state = State(**{name: np.asarray(d[name])
                      for name in STATE_FIELDS})
     return state, when
 
@@ -212,11 +212,11 @@ class FileForcing(ForcingProvider):
         def interp(name):
             a = np.broadcast_to(np.asarray(d0[name], np.float32), (n,))
             b = np.broadcast_to(np.asarray(d1[name], np.float32), (n,))
-            return jnp.asarray((1.0 - w) * a + w * b)
+            return np.asarray((1.0 - w) * a + w * b, np.float32)
 
         def hold(name):
-            return jnp.asarray(np.broadcast_to(
-                np.asarray(d0[name], np.float32), (n,)))
+            return np.broadcast_to(
+                np.asarray(d0[name], np.float32), (n,))
 
         yearlen = float(solar.year_length(when.year))
         jd = solar.julian_day(when)
@@ -228,15 +228,15 @@ class FileForcing(ForcingProvider):
             psfc=interp("sfcprs"), uu=interp("uu"), vv=interp("vv"),
             q2=interp("q2"), soldn=interp("soldn"),
             lwdn=interp("lwdn"), prcp=hold("prcp"),
-            cosz=jnp.broadcast_to(jnp.asarray(cosz), (n,)),
+            cosz=np.broadcast_to(np.asarray(cosz, np.float32), (n,)),
             co2air=hold("co2air") if "co2air" in d0
-            else jnp.full((n,), 39.0, jnp.float32),
+            else np.full((n,), 39.0, np.float32),
             o2air=hold("o2air") if "o2air" in d0
-            else jnp.full((n,), 18900.0, jnp.float32),
+            else np.full((n,), 18900.0, np.float32),
             foln=hold("foln") if "foln" in d0
-            else jnp.full((n,), 1.0, jnp.float32),
-            julian=jnp.full((n,), jd, jnp.float32),
-            yearlen=jnp.full((n,), yearlen, jnp.float32))
+            else np.full((n,), 1.0, np.float32),
+            julian=np.full((n,), jd, np.float32),
+            yearlen=np.full((n,), yearlen, np.float32))
 
 
 class SyntheticForcing(ForcingProvider):
@@ -263,8 +263,7 @@ class SyntheticForcing(ForcingProvider):
         soldn = self.solmax * day
 
         def rep(v):
-            return jnp.asarray(np.broadcast_to(
-                np.asarray(v, np.float32), (n,)))
+            return np.broadcast_to(np.asarray(v, np.float32), (n,))
 
         return Forcing(
             sfctmp=rep(sfctmp), sfcprs=rep(self.sfcprs),

@@ -138,18 +138,22 @@ class Params(NamedTuple):
     gen: GenParams
 
 
-def _pad0(a: np.ndarray) -> jnp.ndarray:
-    """Prepend a zero row so 1-based class indices index directly."""
+def _pad0(a: np.ndarray) -> np.ndarray:
+    """Prepend a zero row so 1-based class indices index directly.
+
+    Tables stay host-side (numpy): eager per-array device puts are
+    pathologically slow over relayed TPU backends, and jit transfers
+    the whole pytree once at the first call anyway.
+    """
     pad = np.zeros((1,) + a.shape[1:], dtype=a.dtype)
-    return jnp.asarray(np.concatenate([pad, a], axis=0))
+    return np.concatenate([pad, a], axis=0)
 
 
 def load_veg_params(tag: str, tbl_dir: str = DATA_DIR) -> VegParams:
     sec = reader.parse_sections(os.path.join(tbl_dir, "VEGPARMMP.TBL"))
 
     def scalar_i(name):
-        return jnp.asarray(int(reader.read_scalar(sec, f"{name}#{tag}")),
-                           dtype=jnp.int32)
+        return np.int32(int(reader.read_scalar(sec, f"{name}#{tag}")))
 
     rad = reader.read_table(sec, f"RAD#{tag}", 9)
     lai = reader.read_table(sec, f"LAI12M#{tag}", 12)
@@ -232,10 +236,10 @@ def load_gen_params(tbl_dir: str = DATA_DIR) -> GenParams:
     slope = reader.read_table(sec, "SLOPE", 1)[:, 0]
 
     def s(name):
-        return jnp.float32(reader.read_scalar(sec, name))
+        return np.float32(reader.read_scalar(sec, name))
 
     def v(name):
-        return jnp.asarray(reader.read_vector(sec, name))
+        return np.asarray(reader.read_vector(sec, name), np.float32)
 
     return GenParams(
         slope=_pad0(slope),
@@ -253,8 +257,14 @@ def load_params(veg_scheme: str = "USGS", soil_scheme: str = "STAS",
                 tbl_dir: str = DATA_DIR,
                 frzx_compat: bool = True) -> Params:
     gen = load_gen_params(tbl_dir)
-    return Params(
+    params = Params(
         veg=load_veg_params(veg_scheme, tbl_dir),
         soil=load_soil_params(soil_scheme, gen, tbl_dir, frzx_compat),
         gen=gen,
     )
+    # One device_put for the whole tree: pure transfers (no per-leaf
+    # eager compiles, which are seconds each over relayed backends).
+    # Tables must be device arrays so `table[lutyp]` traces as a
+    # gather when lutyp is a tracer.
+    import jax
+    return jax.device_put(params)

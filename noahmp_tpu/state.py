@@ -179,22 +179,26 @@ class Flux(NamedTuple):
     erreng: jnp.ndarray   # energy budget residual [W m-2]
 
 
-def _f(x, dtype=jnp.float32):
-    return jnp.asarray(x, dtype=dtype)
+def _f(x, dtype=np.float32):
+    # host-side on purpose: initializers build numpy pytrees so setup
+    # costs zero eager device ops (slow over relayed TPU backends);
+    # jit transfers the whole tree once at the first call.
+    return np.asarray(x, dtype=dtype)
 
 
 def init_static(n: int | None = None, *, lat=0.7, lutyp=7, sltyp=6,
                 slptyp=1, isc=4, ist=1, ice=0, zsoil=DEFAULT_ZSOIL,
                 shdfac=0.7, shdmax=0.8, tbot=285.0, zlvl=10.0) -> Static:
-    """Build a Static container; scalars broadcast over ``n`` points."""
-    def rep(v, dtype=jnp.float32):
-        a = jnp.asarray(v, dtype=dtype)
-        return a if n is None else jnp.broadcast_to(a, (n,) + a.shape)
+    """Build a Static container; scalars broadcast over ``n`` points.
+    Leaves are host numpy arrays (broadcast views — near-zero memory)."""
+    def rep(v, dtype=np.float32):
+        a = np.asarray(v, dtype=dtype)
+        return a if n is None else np.broadcast_to(a, (n,) + a.shape)
     return Static(
-        lat=rep(lat), lutyp=rep(lutyp, jnp.int32), sltyp=rep(sltyp, jnp.int32),
-        slptyp=rep(slptyp, jnp.int32), isc=rep(isc, jnp.int32),
-        ist=rep(ist, jnp.int32), ice=rep(ice, jnp.int32),
-        zsoil=rep(jnp.asarray(zsoil, jnp.float32)),
+        lat=rep(lat), lutyp=rep(lutyp, np.int32), sltyp=rep(sltyp, np.int32),
+        slptyp=rep(slptyp, np.int32), isc=rep(isc, np.int32),
+        ist=rep(ist, np.int32), ice=rep(ice, np.int32),
+        zsoil=rep(np.asarray(zsoil, np.float32)),
         shdfac=rep(shdfac), shdmax=rep(shdmax), tbot=rep(tbot),
         zlvl=rep(zlvl))
 
@@ -204,10 +208,11 @@ def init_state(n: int | None = None, *, tg=285.0, tv=285.0,
                canliq=0.0, canice=0.0, sneqv=0.0, snowh=0.0,
                zwt=2.5, wa=4900.0, lai=2.0, sai=0.2) -> State:
     """Cold-start state.  Zero snow layers; aquifer near equilibrium
-    (the reference's typical initialization for opt_run=1)."""
-    def rep(v, dtype=jnp.float32):
-        a = jnp.asarray(v, dtype=dtype)
-        return a if n is None else jnp.broadcast_to(a, (n,) + a.shape)
+    (the reference's typical initialization for opt_run=1).
+    Leaves are host numpy arrays; see ``init_static``."""
+    def rep(v, dtype=np.float32):
+        a = np.asarray(v, dtype=dtype)
+        return a if n is None else np.broadcast_to(a, (n,) + a.shape)
 
     zsoil_arr = np.asarray(zsoil, np.float32)
     zsnso0 = np.concatenate([np.zeros(MSNOW, np.float32), zsoil_arr])
@@ -218,14 +223,14 @@ def init_state(n: int | None = None, *, tg=285.0, tv=285.0,
         eah=rep(1000.0), tah=rep(tv), fwet=rep(0.0),
         lai=rep(lai), sai=rep(sai),
         tg=rep(tg), qsfc=rep(0.01), cm=rep(0.01), ch=rep(0.01),
-        nsnow=rep(0, jnp.int32), snowh=rep(snowh), sneqv=rep(sneqv),
+        nsnow=rep(0, np.int32), snowh=rep(snowh), sneqv=rep(sneqv),
         sneqvo=rep(sneqv),
-        snice=rep(jnp.zeros(MSNOW)), snliq=rep(jnp.zeros(MSNOW)),
-        zsnso=rep(jnp.asarray(zsnso0)),
+        snice=rep(np.zeros(MSNOW)), snliq=rep(np.zeros(MSNOW)),
+        zsnso=rep(zsnso0),
         albold=rep(0.65), tauss=rep(0.0),
-        ficeold=rep(jnp.zeros(MSNOW)), qsnow=rep(0.0),
-        stc=rep(jnp.asarray(stc0)),
-        swc=rep(jnp.full(NSOIL, swc)), smc=rep(jnp.full(NSOIL, smc)),
+        ficeold=rep(np.zeros(MSNOW)), qsnow=rep(0.0),
+        stc=rep(stc0),
+        swc=rep(np.full(NSOIL, swc)), smc=rep(np.full(NSOIL, smc)),
         zwt=rep(zwt), wa=rep(wa), wt=rep(wa), wslake=rep(0.0),
         lfmass=rep(50.0), rtmass=rep(500.0), stmass=rep(50.0),
         wood=rep(500.0), stblcp=rep(1000.0), fastcp=rep(1000.0),

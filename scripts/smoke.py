@@ -26,7 +26,8 @@ state = init_state(n)
 
 def forcing(n, julian=180.0):
     def rep(v):
-        return jnp.broadcast_to(jnp.float32(v), (n,))
+        import numpy as np
+        return np.broadcast_to(np.float32(v), (n,))
     return Forcing(
         sfctmp=rep(295.0), sfcprs=rep(90000.0), psfc=rep(90000.0),
         uu=rep(3.0), vv=rep(1.0), q2=rep(0.008), soldn=rep(600.0),

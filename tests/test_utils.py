@@ -36,7 +36,7 @@ def test_check_budgets_respects_ist():
 def test_nan_report_and_assert_finite():
     st = init_state(3)
     assert utils.nan_report(st) == {}
-    bad = st._replace(tg=st.tg.at[1].set(jnp.nan))
+    bad = st._replace(tg=jnp.asarray(st.tg).at[1].set(jnp.nan))
     rep = utils.nan_report(bad)
     assert any("tg" in k for k in rep)
     with pytest.raises(FloatingPointError, match="tg"):
