@@ -255,16 +255,24 @@ def load_gen_params(tbl_dir: str = DATA_DIR) -> GenParams:
 
 def load_params(veg_scheme: str = "USGS", soil_scheme: str = "STAS",
                 tbl_dir: str = DATA_DIR,
-                frzx_compat: bool = True) -> Params:
+                frzx_compat: bool = True,
+                to_device: bool = True) -> Params:
+    """Load all parameter tables.  ``to_device=False`` returns host
+    numpy leaves and never initializes a JAX backend (for table
+    inspection / host-only tooling)."""
     gen = load_gen_params(tbl_dir)
     params = Params(
         veg=load_veg_params(veg_scheme, tbl_dir),
         soil=load_soil_params(soil_scheme, gen, tbl_dir, frzx_compat),
         gen=gen,
     )
+    if not to_device:
+        return params
     # One device_put for the whole tree: pure transfers (no per-leaf
     # eager compiles, which are seconds each over relayed backends).
-    # Tables must be device arrays so `table[lutyp]` traces as a
-    # gather when lutyp is a tracer.
+    # Device-resident params are then passed as explicit jit arguments
+    # by make_step (never closed over: closure constants force a
+    # device->host fetch at lowering time, which hangs on relayed
+    # TPU backends — see driver/step.py).
     import jax
     return jax.device_put(params)

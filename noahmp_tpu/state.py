@@ -179,13 +179,6 @@ class Flux(NamedTuple):
     erreng: jnp.ndarray   # energy budget residual [W m-2]
 
 
-def _f(x, dtype=np.float32):
-    # host-side on purpose: initializers build numpy pytrees so setup
-    # costs zero eager device ops (slow over relayed TPU backends);
-    # jit transfers the whole tree once at the first call.
-    return np.asarray(x, dtype=dtype)
-
-
 def init_static(n: int | None = None, *, lat=0.7, lutyp=7, sltyp=6,
                 slptyp=1, isc=4, ist=1, ice=0, zsoil=DEFAULT_ZSOIL,
                 shdfac=0.7, shdmax=0.8, tbot=285.0, zlvl=10.0) -> Static:

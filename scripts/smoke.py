@@ -26,7 +26,6 @@ state = init_state(n)
 
 def forcing(n, julian=180.0):
     def rep(v):
-        import numpy as np
         return np.broadcast_to(np.float32(v), (n,))
     return Forcing(
         sfctmp=rep(295.0), sfcprs=rep(90000.0), psfc=rep(90000.0),
