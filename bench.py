@@ -24,27 +24,39 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 def main():
     from __graft_entry__ import _build
-    from functools import partial
     from noahmp_tpu.physics.sflx import column_step
 
     n = 65536  # land points on one chip
     params, opts, static, forcing, state = _build(n)
+    # one transfer up front so the timed loop passes device buffers
+    static, forcing = jax.device_put((static, forcing))
 
-    def fn(state):
-        col = partial(column_step, params, opts)
-        return jax.vmap(col, in_axes=(0, 0, 0, None))(
-            static, forcing, state, jnp.float32(900.0))[0]
+    # params/static/forcing as jit args (loop-invariant buffers), not
+    # closure constants — device-resident constants force a
+    # device->host fetch at lowering time (driver/step.py).
+    def fn(params, static, forcing, state):
+        col = lambda p, st, f, s: column_step(  # noqa: E731
+            p, opts, st, f, s, jnp.float32(900.0))
+        return jax.vmap(col, in_axes=(None, 0, 0, 0))(
+            params, static, forcing, state)[0]
 
-    step = jax.jit(fn, donate_argnums=(0,))
-    state = step(state)          # compile + warm
-    state = step(state)
-    jax.block_until_ready(state)
+    step = jax.jit(fn, donate_argnums=(3,))
+
+    def sync(state):
+        # a scalar device->host fetch is the only reliable completion
+        # barrier over relayed backends (block_until_ready can return
+        # at dispatch-acknowledge, inflating rates ~200x — measured)
+        return float(jnp.asarray(state.tg[0]))
+
+    state = step(params, static, forcing, state)   # compile + warm
+    state = step(params, static, forcing, state)
+    sync(state)
 
     nsteps = 20
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        state = step(state)
-    jax.block_until_ready(state)
+        state = step(params, static, forcing, state)
+    sync(state)
     dt = time.perf_counter() - t0
 
     pts_per_sec = n * nsteps / dt

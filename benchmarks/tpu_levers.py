@@ -6,6 +6,12 @@
 Prints one JSON line: variant, n, compile seconds, steady ms/step,
 point-steps/s.  Run on the target backend (real TPU, or
 JAX_PLATFORMS=cpu for smoke).
+
+Params/static/forcing are jit arguments (loop-invariant device
+buffers), never closure constants: lowering a device-resident constant
+forces a device->host fetch per table, which is what made round-1
+lever compiles appear to never finish over the axon relay
+(driver/step.py).
 """
 
 import json
@@ -28,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main(variant="major", n=65536, nsteps=20):
     from __graft_entry__ import _build
-    from noahmp_tpu.driver.step import make_step, batch_to_layout
+    from noahmp_tpu.driver.step import batch_to_layout
+    from noahmp_tpu.physics.sflx import column_step
     from noahmp_tpu import tuning
 
     if variant == "unroll":
@@ -40,32 +47,49 @@ def main(variant="major", n=65536, nsteps=20):
         from noahmp_tpu.pallas.column import make_pallas_step
         pstep = make_pallas_step(params, opts, 900.0, static)
         step = jax.jit(lambda f, s: pstep(f, s)[0])
-        args = (forcing, state)
-    elif variant == "minor":
-        layout = "minor"
-        static = batch_to_layout(static, layout)
-        forcing = batch_to_layout(forcing, layout)
-        state = batch_to_layout(state, layout)
-        s = make_step(params, opts, 900.0, donate=False, layout=layout)
-        step = jax.jit(lambda f, st: s(static, f, st)[0])
-        args = (forcing, state)
-    else:  # major / unroll
-        s = make_step(params, opts, 900.0, donate=False)
-        step = jax.jit(lambda f, st: s(static, f, st)[0])
-        args = (forcing, state)
+        forcing, state = jax.device_put((forcing, state))
+        args = lambda st: (forcing, st)        # noqa: E731
+    else:
+        ax = -1 if variant == "minor" else 0
+        if variant == "minor":
+            static = batch_to_layout(static, "minor")
+            forcing = batch_to_layout(forcing, "minor")
+            state = batch_to_layout(state, "minor")
+
+        def fn(params, static, forcing, state):
+            col = lambda p, st, f, s: column_step(  # noqa: E731
+                p, opts, st, f, s, jnp.float32(900.0))
+            return jax.vmap(col, in_axes=(None, ax, ax, ax),
+                            out_axes=ax)(params, static, forcing,
+                                         state)[0]
+
+        jitted = jax.jit(fn, donate_argnums=(3,))
+        static, forcing = jax.device_put((static, forcing))
+        step = lambda f, st: jitted(params, static, f, st)  # noqa: E731
+        args = lambda st: (forcing, st)        # noqa: E731
+
+    import numpy as np
+
+    def sync(st):
+        # scalar fetch = the only reliable completion barrier over
+        # relayed backends (block_until_ready may return at
+        # dispatch-acknowledge; measured ~200x inflation without this)
+        leaf = jax.tree_util.tree_leaves(st)[0]
+        return float(np.asarray(leaf.reshape(-1)[0]))
 
     t0 = time.perf_counter()
-    st = step(*args)
-    jax.block_until_ready(st)
+    st = step(*args(state))
+    sync(st)
     compile_s = time.perf_counter() - t0
 
-    st = step(args[0], st)
-    jax.block_until_ready(st)
+    for _ in range(3):   # warm: donated-buffer steady state
+        st = step(*args(st))
+    sync(st)
 
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        st = step(args[0], st)
-    jax.block_until_ready(st)
+        st = step(*args(st))
+    sync(st)
     dt = time.perf_counter() - t0
 
     print(json.dumps({

@@ -67,7 +67,13 @@ def make_sharded_step(params, opts, dt, mesh: Mesh, donate=True,
     sh_b = batch_sharding(mesh)
     sh_r = replicated(mesh)
 
-    def _step(static, forcing, state):
+    # Params travel as explicit (replicated) jit arguments, never as
+    # closure constants: lowering a device-resident constant forces a
+    # device->host fetch that wedges relayed TPU backends (see
+    # driver/step.py make_step).
+    params = jax.device_put(params, sh_r)
+
+    def _step(params, static, forcing, state):
         col = partial(column_step, params, opts)
         new_state, flux = jax.vmap(col, in_axes=(0, 0, 0, None))(
             static, forcing, state, jnp.asarray(dt, jnp.float32))
@@ -83,11 +89,18 @@ def make_sharded_step(params, opts, dt, mesh: Mesh, donate=True,
         return new_state, flux, diags
 
     # output shardings propagate from the inputs
-    return jax.jit(
+    jitted = jax.jit(
         _step,
-        in_shardings=(sh_b, sh_b, sh_b),
-        donate_argnums=(2,) if donate else (),
+        in_shardings=(sh_r, sh_b, sh_b, sh_b),
+        donate_argnums=(3,) if donate else (),
     )
+
+    def step(static, forcing, state):
+        return jitted(params, static, forcing, state)
+
+    step.jitted = jitted
+    step.params = params
+    return step
 
 
 def init_distributed(coordinator_address=None, num_processes=None,

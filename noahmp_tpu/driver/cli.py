@@ -5,11 +5,27 @@ Usage: python -m noahmp_tpu.driver.cli [case.nml] [--points N]
 """
 
 import argparse
+import os
 
 from .config import Config
 from .run import run_offline
 
 DEFAULT_NAMELIST_FILE = "case.nml"
+
+
+def enable_compile_cache(cache_dir=None):
+    """Persistent XLA compilation cache (same policy as bench.py):
+    first compile of the step is tens of seconds on TPU; subsequent
+    runs of the same case are cache hits."""
+    import jax
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "NOAHMP_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "noahmp_tpu", "jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main(argv=None):
@@ -25,8 +41,12 @@ def main(argv=None):
                         metavar="N",
                         help="assert energy/water conservation every N "
                         "steps (0 = off)")
+    parser.add_argument("--no-compile-cache", action="store_true",
+                        help="disable the persistent XLA compile cache")
     args = parser.parse_args(argv)
 
+    if not args.no_compile_cache:
+        enable_compile_cache()
     cfg = Config.from_namelist(args.nmlfile)
     run_offline(cfg, n_points=args.points,
                 check_budgets_every=args.check_budgets)

@@ -71,12 +71,19 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
                                     donate=False)
         step = lambda st, f, s: sharded(st, f, s)[:2]  # noqa: E731
     else:
+        import jax
+        # one transfer for the loop-invariant static fields (otherwise
+        # every step re-uploads them from the host numpy views)
+        static = jax.device_put(static)
         step = make_step(params, cfg.options, cfg.dt, donate=False)
 
+    from .config import _ANCHOR
     if cfg.restart and ckpt is not None \
             and ckpt.latest_step() is not None:
         state = ckpt.restore(template=state)
-        when = datetime.datetime.fromtimestamp(ckpt.latest_step())
+        # checkpoint steps are naive model-calendar seconds since the
+        # anchor (timezone-independent, unlike epoch timestamps)
+        when = _ANCHOR + datetime.timedelta(seconds=ckpt.latest_step())
 
     if forcing_provider is None:
         if os.path.isdir(cfg.indir) and os.listdir(cfg.indir):
@@ -87,7 +94,8 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
 
     writer = io_mod.OutputWriter(cfg.outdir, cfg.outfreq)
 
-    res_secs = cfg.resfreq.total_seconds()
+    from .config import as_cadence
+    res_cad = as_cadence(cfg.resfreq)
     t0 = time.perf_counter()
     nsteps = 0
     while when < cfg.enddatetime:
@@ -99,10 +107,10 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
             from .. import utils
             utils.check_budgets(flux, ist=static.ist)
         writer.push(when, flux, state)
-        if (when.timestamp() % res_secs) == 0:
+        if res_cad.due(when):
             if ckpt is not None:
                 # async save overlaps the next model steps
-                ckpt.save(int(when.timestamp()), state)
+                ckpt.save(int((when - _ANCHOR).total_seconds()), state)
             else:
                 io_mod.save_restart(
                     os.path.join(

@@ -17,6 +17,14 @@ def make_step(params, opts, dt, jit=True, donate=True, layout="major"):
     """Build step(static, forcing, state) -> (state, flux), batched over
     all inputs.  ``opts`` and ``dt`` are static.
 
+    ``params`` is passed as an explicit jit argument on every call —
+    NOT closed over.  Closure params become HLO constants, and lowering
+    a device-resident constant forces a device->host fetch
+    (mlir.ir_constant -> array._value); over a relayed TPU backend that
+    fetch is pathologically slow and wedged the round-1 CLI.  As an
+    argument, a device-resident table stays on device and the traced
+    gathers are identical.
+
     ``layout``: "major" batches over the leading axis (default);
     "minor" batches over the trailing axis, which puts the land-point
     dimension on the TPU's 128-lane axis so the small layer arrays
@@ -25,15 +33,24 @@ def make_step(params, opts, dt, jit=True, donate=True, layout="major"):
     """
     ax = 0 if layout == "major" else -1
 
-    def _step(static, forcing, state):
-        col = partial(column_step, params, opts)
-        batched = jax.vmap(col, in_axes=(ax, ax, ax, None), out_axes=ax)
-        return batched(static, forcing, state, jnp.asarray(
-            dt, jnp.float32))
+    def _step(params, static, forcing, state):
+        col = lambda p, st, f, s: column_step(  # noqa: E731
+            p, opts, st, f, s, jnp.asarray(dt, jnp.float32))
+        batched = jax.vmap(col, in_axes=(None, ax, ax, ax),
+                           out_axes=ax)
+        return batched(params, static, forcing, state)
 
     if jit:
-        return jax.jit(_step, donate_argnums=(2,) if donate else ())
-    return _step
+        jitted = jax.jit(_step, donate_argnums=(3,) if donate else ())
+    else:
+        jitted = _step
+
+    def step(static, forcing, state):
+        return jitted(params, static, forcing, state)
+
+    step.jitted = jitted  # 4-arg form, for lowering inspection/tests
+    step.params = params
+    return step
 
 
 def batch_to_layout(tree, layout):
@@ -50,15 +67,37 @@ def simulate(params, opts, dt, static, forcings, state0,
              collect_fluxes=True):
     """Run a forcing sequence.  ``forcings`` is a Forcing pytree whose
     leaves have a leading time axis (then the batch axis).  Returns
-    (final_state, fluxes-stacked-over-time or last flux)."""
+    (final_state, fluxes-stacked-over-time or last flux).
 
-    col = partial(column_step, params, opts)
-    batched = jax.vmap(col, in_axes=(0, 0, 0, None))
+    params/static are scan-invariant closure values here; callers who
+    jit this should pass them through as jit arguments (see
+    ``make_simulate``) so device-resident tables are never lowered as
+    HLO constants."""
 
     def body(state, forcing):
+        col = partial(column_step, params, opts)
+        batched = jax.vmap(col, in_axes=(0, 0, 0, None))
         new_state, flux = batched(static, forcing, state,
                                   jnp.asarray(dt, jnp.float32))
         return new_state, (flux if collect_fluxes else None)
 
     final_state, fluxes = jax.lax.scan(body, state0, forcings)
     return final_state, fluxes
+
+
+def make_simulate(params, opts, dt, collect_fluxes=True, donate=True):
+    """Jitted multi-step scan with params/static as explicit arguments
+    (same closure-constant rationale as ``make_step``).  Returns
+    sim(static, forcings, state0) -> (final_state, fluxes)."""
+
+    def _sim(params, static, forcings, state0):
+        return simulate(params, opts, dt, static, forcings, state0,
+                        collect_fluxes=collect_fluxes)
+
+    jitted = jax.jit(_sim, donate_argnums=(3,) if donate else ())
+
+    def sim(static, forcings, state0):
+        return jitted(params, static, forcings, state0)
+
+    sim.jitted = jitted
+    return sim
