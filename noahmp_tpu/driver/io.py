@@ -197,9 +197,11 @@ class FileForcing(ForcingProvider):
         self._inflight[key] = t
 
     def __call__(self, when: datetime.datetime) -> Forcing:
+        # naive model-calendar flooring (timezone-independent)
+        from .config import _ANCHOR
         secs = self.infreq.total_seconds()
-        t0 = datetime.datetime.fromtimestamp(
-            (when.timestamp() // secs) * secs)
+        since = (when - _ANCHOR).total_seconds()
+        t0 = _ANCHOR + datetime.timedelta(seconds=(since // secs) * secs)
         t1 = t0 + self.infreq
         w = (when - t0).total_seconds() / secs
         d0 = self._load(t0)
@@ -214,6 +216,10 @@ class FileForcing(ForcingProvider):
             b = np.broadcast_to(np.asarray(d1[name], np.float32), (n,))
             return np.asarray((1.0 - w) * a + w * b, np.float32)
 
+        # interp/hold return read-only numpy views aliasing _cache
+        # entries; cache arrays are never mutated in place (the
+        # prefetch thread only inserts whole new entries), so the
+        # views stay valid.  Any future in-place writer must copy.
         def hold(name):
             return np.broadcast_to(
                 np.asarray(d0[name], np.float32), (n,))
@@ -278,13 +284,14 @@ class OutputWriter:
     """Accumulates per-step fluxes and writes time-stamped output files
     at the configured cadence (the reference's ldasout contract)."""
 
-    def __init__(self, outdir: str, outfreq: datetime.timedelta,
+    def __init__(self, outdir: str, outfreq,
                  fields=("fsa", "fsr", "fira", "fsh", "fcev", "fgev",
                          "fctr", "ssoil", "trad", "ecan", "etran",
                          "edir", "runsrf", "runsub", "fsno", "albedo",
                          "gpp", "nee"), fmt: str = "nc"):
+        from .config import as_cadence
         self.outdir = outdir
-        self.outfreq = outfreq
+        self.outfreq = as_cadence(outfreq)
         self.fields = fields
         self.fmt = fmt
         self._acc: Optional[Dict[str, np.ndarray]] = None
@@ -302,9 +309,7 @@ class OutputWriter:
             self._acc[f] = self._acc[f] + getattr(flux, f)
         self._count += 1
 
-        secs = self.outfreq.total_seconds()
-        at_boundary = (when.timestamp() % secs) == 0
-        if at_boundary and self._count > 0:
+        if self.outfreq.due(when) and self._count > 0:
             arrays = {f: (self._acc[f] / self._count).astype(np.float32)
                       for f in self.fields}
             # instantaneous prognostics snapshot

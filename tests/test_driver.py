@@ -45,6 +45,69 @@ def test_config_missing_field(tmp_path):
         Config.from_namelist(str(bad))
 
 
+def test_cadence_calendar_boundaries():
+    """Calendar-correct cadence (reference contract run/case.nml:11,
+    restart_frequency='1 month'): fires at true month starts, including
+    across February and leap years, independent of host timezone."""
+    from noahmp_tpu.driver.config import parse_cadence, as_cadence
+
+    monthly = parse_cadence("1 month")
+    assert monthly.due(datetime.datetime(2000, 2, 1, 0, 0, 0))
+    assert monthly.due(datetime.datetime(2000, 3, 1, 0, 0, 0))
+    assert monthly.due(datetime.datetime(2001, 3, 1, 0, 0, 0))
+    # a 30-day tick from Jan 31 would fire here; a calendar month must not
+    assert not monthly.due(datetime.datetime(2000, 1, 31, 0, 0, 0))
+    assert not monthly.due(datetime.datetime(2000, 3, 2, 0, 0, 0))
+    assert not monthly.due(datetime.datetime(2000, 3, 1, 0, 15, 0))
+    # leap-year February: Feb 29 is not a boundary, Mar 1 is
+    assert not monthly.due(datetime.datetime(2000, 2, 29, 0, 0, 0))
+
+    q = parse_cadence("3 months")
+    assert q.due(datetime.datetime(2000, 1, 1))
+    assert q.due(datetime.datetime(2000, 4, 1))
+    assert not q.due(datetime.datetime(2000, 2, 1))
+
+    yearly = parse_cadence("1 year")
+    assert yearly.due(datetime.datetime(2001, 1, 1))
+    assert not yearly.due(datetime.datetime(2001, 1, 2))
+    assert not yearly.due(datetime.datetime(2001, 7, 1))
+
+    threeh = parse_cadence("3 hour")
+    for h in (0, 3, 6, 21):
+        assert threeh.due(datetime.datetime(2000, 6, 5, h, 0, 0))
+    assert not threeh.due(datetime.datetime(2000, 6, 5, 4, 0, 0))
+    assert not threeh.due(datetime.datetime(2000, 6, 5, 3, 15, 0))
+
+    # timedelta back-compat path
+    hourly = as_cadence(datetime.timedelta(hours=1))
+    assert hourly.due(datetime.datetime(2000, 1, 1, 5, 0, 0))
+    assert not hourly.due(datetime.datetime(2000, 1, 1, 5, 30, 0))
+
+
+def test_cadence_tz_independent(monkeypatch):
+    """Boundary decisions must not consult the host timezone (round-1
+    used when.timestamp(), which does)."""
+    import time as _time
+    from noahmp_tpu.driver.config import parse_cadence
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "Asia/Kathmandu", "Pacific/Chatham"):
+            os.environ["TZ"] = tz
+            _time.tzset()
+            assert parse_cadence("3 hour").due(
+                datetime.datetime(2000, 1, 1, 3, 0, 0))
+            assert parse_cadence("1 month").due(
+                datetime.datetime(2000, 2, 1, 0, 0, 0))
+            assert not parse_cadence("1 month").due(
+                datetime.datetime(2000, 1, 31, 0, 0, 0))
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
 def test_parse_frequency():
     assert parse_frequency("1 hour").total_seconds() == 3600
     assert parse_frequency("3 hour").total_seconds() == 10800
