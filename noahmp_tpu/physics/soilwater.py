@@ -320,8 +320,13 @@ def groundwater(soil, gen, sltyp, dt, zsoil, sice, wcnd, fcrmax, swc,
         * jnp.exp(-6.0 * (zwt - 2.0))
 
     # The reference computes S_NODE in real*8 (its one double-precision
-    # variable, func:6501).  Promote the matric-potential term to f64
-    # when x64 is enabled; on TPU (f32-only) this is a no-op.
+    # variable, func:6501).  TPUs are f32-only, so instead of promoting
+    # we quantified the f32 error of the s_node -> smpfz -> qin chain
+    # over the full STAS/STAS-RUC parameter range
+    # (tests/test_numerics.py::test_snode_f32_precision): smpfz relative
+    # error <= ~2e-6, worst-case qin error ~1e-5 mm/s -- three orders of
+    # magnitude under the 10/dt clip below.  Under x64 (CPU validation)
+    # the term still promotes to f64 to match the reference exactly.
     hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     s_node = jnp.clip(smc[jwt].astype(hi) / smcmax.astype(hi), 0.01, 1.0)
     smpfz = -soil.psisat[sltyp].astype(hi) * 1000.0 * s_node \

@@ -125,3 +125,48 @@ def test_frh2o_against_scipy():
     free_warm = float(frh2o(soil, jnp.int32(sltyp), jnp.float32(280.0),
                             jnp.float32(smc), jnp.float32(swc0)))
     assert free_warm == pytest.approx(smc)
+
+
+def test_snode_f32_precision():
+    """Quantify the f32 error of the groundwater S_NODE->SMPFZ->QIN
+    chain vs the reference's real*8 (func:6501; VERDICT round-1 weak
+    #8).  Sweep the full STAS/STAS-RUC table range; the f32 error must
+    stay orders of magnitude below the 10/dt qin clip that bounds the
+    term's effect on the water budget."""
+    from noahmp_tpu.params import load_params
+
+    p = load_params("USGS", "STAS", to_device=False)
+    bexp_max = float(np.nanmax(p.soil.bexp))
+    psisat_max = float(np.nanmax(p.soil.psisat))
+    dksat_max = float(np.nanmax(p.soil.dksat))
+
+    rng = np.random.default_rng(0)
+    N = 500_000
+    smc = rng.uniform(0.004, 0.5, N)          # includes s_node clip edge
+    smcmax = rng.uniform(0.30, 0.50, N)
+    psisat = rng.uniform(0.01, psisat_max, N)
+    bexp = rng.uniform(2.0, bexp_max, N)
+    cmic = 0.2
+
+    def smpfz(dtype):
+        s = np.clip((smc / smcmax).astype(dtype), dtype(0.01),
+                    dtype(1.0))
+        v = -psisat.astype(dtype) * dtype(1000.0) \
+            * s ** (-bexp.astype(dtype))
+        return np.maximum(dtype(-120000.0), dtype(cmic) * v)
+
+    a32 = smpfz(np.float32).astype(np.float64)
+    a64 = smpfz(np.float64)
+    rel = np.abs(a32 - a64) / np.maximum(np.abs(a64), 1e-30)
+    assert rel.max() < 5e-6
+
+    # absolute qin error with PHYSICALLY CONSISTENT conductivity:
+    # qin = -hk*(wh_zwt-wh)/dz with hk = 1e3*dksat*s^(2b+3) (wdfcnd2,
+    # func:6420-6455) evaluated at the same s as smpfz -- dry soil
+    # (large |smpfz|, large f32 error) has vanishing hk, so the error
+    # product is what matters, per point.  dz >= 250 mm.
+    s = np.clip(smc / smcmax, 0.01, 1.0)
+    hk = 1.0e3 * dksat_max * s ** (2.0 * bexp + 3.0)
+    err_qin = (hk * np.abs(a32 - a64) / 250.0).max()
+    dt = 900.0
+    assert err_qin < 1e-3 * (10.0 / dt)   # <0.1% of the clip bound
