@@ -46,8 +46,13 @@ def load_arrays(path: str) -> Dict[str, np.ndarray]:
                      "(expected NetCDF or .npz)")
 
 
-def save_arrays(path: str, arrays: Dict[str, np.ndarray]):
+def save_arrays(path: str, arrays: Dict[str, np.ndarray],
+                format: Optional[str] = None):
+    """``format``: None -> by extension (.nc classic, .nc4 NetCDF-4,
+    else .npz); or 'classic' / 'nc4' explicitly for a .nc path."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".nc4") or format in ("nc4", "hdf5", "netcdf4"):
+        return netcdf.write_hdf5(path, arrays)
     if path.endswith(".nc"):
         return netcdf.write_classic(path, arrays)
     np.savez_compressed(path, **arrays)

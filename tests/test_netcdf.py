@@ -153,3 +153,69 @@ def test_output_writer_nc(tmp_path):
         np.testing.assert_allclose(f.variables["fsh"][:],
                                    np.full((n,), 1.5, np.float32))
         assert f.variables["smc"][:].shape == (n, 4)
+
+
+def test_hdf5_write_roundtrip(tmp_path):
+    pytest.importorskip("h5py")
+    p = str(tmp_path / "w4.nc4")
+    arrays = {
+        "tg": 280.0 + np.arange(12, dtype=np.float32).reshape(3, 4),
+        "mask": np.array([1, 0, 1, 1], np.int32),
+        "points": np.arange(4, dtype=np.float64),  # coordinate var
+    }
+    netcdf.write_hdf5(p, arrays,
+                      dims={"time": 3, "points": 4},
+                      var_dims={"tg": ("time", "points"),
+                                "mask": ("points",),
+                                "points": ("points",)},
+                      attrs={"title": "nc4-out"},
+                      var_attrs={"tg": {"units": "K"}})
+    assert netcdf.sniff(p) == "hdf5"
+    ds = netcdf.read(p)
+    assert ds.attrs["title"] == "nc4-out"
+    assert ds.dims["time"] == 3 and ds.dims["points"] == 4
+    assert ds.variables["tg"].dims == ("time", "points")
+    assert ds.variables["tg"].attrs["units"] == "K"
+    np.testing.assert_array_equal(ds.variables["tg"].data,
+                                  arrays["tg"])
+    np.testing.assert_array_equal(ds.variables["mask"].data,
+                                  arrays["mask"])
+    np.testing.assert_array_equal(ds.variables["points"].data,
+                                  arrays["points"])
+
+
+def test_hdf5_write_compressed_autodims(tmp_path):
+    pytest.importorskip("h5py")
+    from noahmp_tpu.driver import io
+    p = str(tmp_path / "big.nc4")
+    arrays = {"smc": np.random.default_rng(0).random(
+        (2048, 4)).astype(np.float32)}
+    io.save_arrays(p, arrays)           # .nc4 -> NetCDF-4 writer
+    ds = netcdf.read(p)
+    np.testing.assert_array_equal(ds.variables["smc"].data,
+                                  arrays["smc"])
+    assert ds.variables["smc"].dims == ("n2048", "n4")
+
+
+def test_output_writer_nc4(tmp_path):
+    pytest.importorskip("h5py")
+    from noahmp_tpu.driver import io
+    from noahmp_tpu.state import init_state
+    from noahmp_tpu.physics.sflx import Flux
+
+    n = 4
+    state = init_state(n)
+    flux = Flux(*[np.full((n,), 1.5, np.float32)
+                  for _ in Flux._fields])
+    w = io.OutputWriter(str(tmp_path / "ldasout"),
+                        datetime.timedelta(hours=3), fmt="nc4")
+    when = datetime.datetime(2000, 1, 1, 0, 0)
+    step = datetime.timedelta(minutes=30)
+    files = []
+    for _ in range(6):
+        when += step
+        files = w.push(when, flux, state)
+    assert len(files) == 1 and files[0].endswith(".nc4")
+    ds = netcdf.read(files[0])
+    np.testing.assert_allclose(ds.variables["fsa"].data,
+                               np.full((n,), 1.5), rtol=1e-6)
