@@ -10,12 +10,19 @@ On CPU it also reports weak scaling over the virtual 8-device mesh.
 
 import argparse
 import json
+import os
 import time
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache (shared with bench.py / the test suite)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def build(n, heterogeneous=False, seed=0):
@@ -53,31 +60,45 @@ def build(n, heterogeneous=False, seed=0):
 def time_step(params, opts, static, forcing, state, nsteps=10,
               scan_len=None):
     from noahmp_tpu.physics.sflx import column_step
-    col = partial(column_step, params, opts)
-    bat = jax.vmap(col, in_axes=(0, 0, 0, None))
+
+    # params/static/forcing travel as jit ARGUMENTS: device-resident
+    # closure constants force a device->host fetch at lowering
+    # (driver/step.py) — fatal over relayed TPU backends for the
+    # sharded config-4 inputs.
+    def col(p, st, f, s):
+        return column_step(p, opts, st, f, s, jnp.float32(900.0))
 
     if scan_len:
-        def fn(state):
+        def fn(params, static, forcing, state):
             def body(s, _):
-                s2, _f = bat(static, forcing, s, jnp.float32(900.0))
+                s2, _f = jax.vmap(col, in_axes=(None, 0, 0, 0))(
+                    params, static, forcing, s)
                 return s2, None
             s, _ = jax.lax.scan(body, state, None, length=scan_len)
             return s
-        step = jax.jit(fn, donate_argnums=(0,))
         steps_per_call = scan_len
     else:
-        def fn(state):
-            return bat(static, forcing, state, jnp.float32(900.0))[0]
-        step = jax.jit(fn, donate_argnums=(0,))
+        def fn(params, static, forcing, state):
+            return jax.vmap(col, in_axes=(None, 0, 0, 0))(
+                params, static, forcing, state)[0]
         steps_per_call = 1
 
+    jitted = jax.jit(fn, donate_argnums=(3,))
+    step = lambda s: jitted(params, static, forcing, s)  # noqa: E731
+
+    def sync(st):
+        # scalar fetch: reliable completion barrier over relayed
+        # backends (block_until_ready can return at dispatch-ack)
+        return float(np.asarray(jax.tree_util.tree_leaves(st)[0]
+                                .reshape(-1)[0]))
+
     state = step(state)
-    jax.block_until_ready(state)
+    sync(state)
     calls = max(1, nsteps // steps_per_call)
     t0 = time.perf_counter()
     for _ in range(calls):
         state = step(state)
-    jax.block_until_ready(state)
+    sync(state)
     dt = time.perf_counter() - t0
     n = int(np.asarray(static.lat).shape[0])
     return n * calls * steps_per_call / dt
@@ -87,6 +108,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3")
     ap.add_argument("--points-cap", type=int, default=1_048_576)
+    ap.add_argument("--out", default=None,
+                    help="also write results JSON to this path")
     args = ap.parse_args()
     wanted = set(args.configs.split(","))
     results = {}
@@ -117,6 +140,12 @@ def main():
     for k, v in results.items():
         print(json.dumps({"config": k, "point_steps_per_sec":
                           round(v, 1)}))
+    if args.out:
+        doc = {"backend": jax.devices()[0].platform,
+               "device": str(jax.devices()[0]),
+               "results": {k: round(v, 1) for k, v in results.items()}}
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=2)
 
 
 if __name__ == "__main__":

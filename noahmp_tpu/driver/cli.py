@@ -43,13 +43,18 @@ def main(argv=None):
                         "steps (0 = off)")
     parser.add_argument("--no-compile-cache", action="store_true",
                         help="disable the persistent XLA compile cache")
+    parser.add_argument("--dispatch", choices=("auto", "chunk", "step"),
+                        default="auto",
+                        help="chunk: one scanned device call per "
+                        "output window (default); step: per-step loop")
     args = parser.parse_args(argv)
 
     if not args.no_compile_cache:
         enable_compile_cache()
     cfg = Config.from_namelist(args.nmlfile)
     run_offline(cfg, n_points=args.points,
-                check_budgets_every=args.check_budgets)
+                check_budgets_every=args.check_budgets,
+                dispatch=args.dispatch)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,26 @@ class Cadence:
             return self.months * 30.0 * 86400.0
         return self.seconds
 
+    def next_due(self, when: datetime.datetime) -> datetime.datetime:
+        """First boundary strictly after ``when`` (drives the chunked
+        time loop: chunks end exactly on output/restart boundaries)."""
+        if self.years:
+            cand = datetime.datetime(when.year, 1, 1)
+            while cand <= when or cand.year % self.years != 0:
+                cand = datetime.datetime(cand.year + 1, 1, 1)
+            return cand
+        if self.months:
+            cand = datetime.datetime(when.year, when.month, 1)
+            while cand <= when or ((cand.year * 12 + cand.month - 1)
+                                   % self.months) != 0:
+                y = cand.year + (cand.month == 12)
+                m = cand.month % 12 + 1
+                cand = datetime.datetime(y, m, 1)
+            return cand
+        since = (when - _ANCHOR).total_seconds()
+        k = int(since // self.seconds) + 1
+        return _ANCHOR + datetime.timedelta(seconds=k * self.seconds)
+
 
 def as_cadence(spec) -> Cadence:
     """Coerce a Cadence / timedelta / seconds-count to a Cadence."""

@@ -145,11 +145,19 @@ class FileForcing(ForcingProvider):
     HOLD = ("prcp",)
 
     def __init__(self, indir: str, infreq: datetime.timedelta,
-                 static: Static, prefetch: bool = True):
+                 static: Static, prefetch: bool = True,
+                 points_slice=None):
+        """``points_slice=(lo, hi)``: this process owns global land
+        points [lo, hi) — forcing variables are sliced at read time
+        (byte-range seeks for classic .nc, h5py dataset slicing for
+        NetCDF-4; see netcdf.read_arrays_slice), so CONUS-scale
+        multi-host runs read only their shard instead of every host
+        loading the whole per-hour file."""
         self.indir = indir
         self.infreq = infreq
         self.static = static
         self.prefetch = prefetch
+        self.points_slice = points_slice
         self._cache: Dict[str, Dict[str, np.ndarray]] = {}
         self._inflight = {}  # isoformat -> Thread
 
@@ -164,6 +172,19 @@ class FileForcing(ForcingProvider):
         raise FileNotFoundError(
             f"no forcing file for {when} in {self.indir}")
 
+    def _read(self, path: str) -> Dict[str, np.ndarray]:
+        if self.points_slice is None:
+            return load_arrays(path)
+        lo, hi = self.points_slice
+        real = _npz_path(path)
+        if netcdf.sniff(real):
+            return netcdf.read_arrays_slice(real, lo, hi)
+        # npz fallback: per-variable lazy zip reads, sliced after load
+        d = load_arrays(real)
+        return {k: (np.asarray(v)[lo:hi]
+                    if np.ndim(v) >= 1 and np.shape(v)[0] >= hi else v)
+                for k, v in d.items()}
+
     def _load(self, when: datetime.datetime) -> Dict[str, np.ndarray]:
         key = when.isoformat()
         t = self._inflight.pop(key, None)
@@ -171,7 +192,7 @@ class FileForcing(ForcingProvider):
             t.join()
         if key not in self._cache:
             self._evict()
-            self._cache[key] = load_arrays(self._fname(when))
+            self._cache[key] = self._read(self._fname(when))
         return self._cache[key]
 
     def _evict(self):
@@ -190,7 +211,7 @@ class FileForcing(ForcingProvider):
 
         def work():
             try:
-                data = load_arrays(self._fname(when))
+                data = self._read(self._fname(when))
             except FileNotFoundError:
                 return  # the run may end before this interval
             self._evict()
@@ -315,15 +336,28 @@ class OutputWriter:
         self._count += 1
 
         if self.outfreq.due(when) and self._count > 0:
-            arrays = {f: (self._acc[f] / self._count).astype(np.float32)
-                      for f in self.fields}
-            # instantaneous prognostics snapshot
-            for name in ("tg", "tv", "sneqv", "snowh", "zwt", "smc",
-                         "swc", "stc", "canliq", "canice", "lai"):
-                arrays[name] = np.asarray(getattr(state, name))
-            path = os.path.join(
-                self.outdir,
-                when.strftime("%Y%m%d%H%M") + "." + self.fmt)
-            self._files.append(save_arrays(path, arrays))
+            means = {f: (self._acc[f] / self._count).astype(np.float32)
+                     for f in self.fields}
+            self._write(when, means, state)
             self._acc = None
+        return self._files
+
+    SNAPSHOT = ("tg", "tv", "sneqv", "snowh", "zwt", "smc", "swc",
+                "stc", "canliq", "canice", "lai")
+
+    def push_window(self, when, means, state: State):
+        """Write one output file directly from precomputed window means
+        (the chunked driver accumulates on device inside the scan and
+        fetches only at the cadence boundary)."""
+        return self._write(when, means, state)
+
+    def _write(self, when, means, state: State):
+        arrays = {f: np.asarray(v, np.float32)
+                  for f, v in means.items()}
+        # instantaneous prognostics snapshot
+        for name in self.SNAPSHOT:
+            arrays[name] = np.asarray(getattr(state, name))
+        path = os.path.join(
+            self.outdir, when.strftime("%Y%m%d%H%M") + "." + self.fmt)
+        self._files.append(save_arrays(path, arrays))
         return self._files

@@ -188,6 +188,128 @@ def read_classic(path: str) -> NcDataset:
     return NcDataset(dims, variables, gatts)
 
 
+class _VarMeta(NamedTuple):
+    dims: Tuple[str, ...]
+    shape: Tuple[int, ...]
+    dtype: np.dtype
+    begin: int
+
+
+def read_classic_meta(path: str) -> Dict[str, _VarMeta]:
+    """Parse ONLY the classic header: variable name -> (dims, shape,
+    dtype, begin byte offset).  With the offsets, fixed-size variables
+    can be sliced straight off disk (:func:`read_classic_slice`) —
+    the CONUS-scale ingestion path where loading whole per-hour
+    forcing files on every host is the memory/time wall."""
+    with open(path, "rb") as f:
+        buf = f.read(65536)
+        if buf[:3] != b"CDF":
+            raise ValueError(f"{path!r} is not classic NetCDF")
+        # headers are small; grow the window if a huge header overflows
+        while True:
+            try:
+                return _parse_header(buf)
+            except (struct.error, IndexError):
+                more = f.read(len(buf))
+                if not more:
+                    raise
+                buf += more
+
+
+def _parse_header(buf: bytes) -> Dict[str, _VarMeta]:
+    version = buf[3]
+    r = _Reader(buf)
+    r.pos = 4
+    r.i4()  # numrecs
+    tag = r.i4()
+    ndims = r.i4()
+    dim_names, dim_sizes = [], []
+    for _ in range(ndims):
+        dim_names.append(r.name())
+        dim_sizes.append(r.i4())
+    r.att_list()
+    tag = r.i4()
+    nvars = r.i4() if tag else 0
+    out: Dict[str, _VarMeta] = {}
+    for _ in range(nvars):
+        nm = r.name()
+        nd = r.i4()
+        dimids = [r.i4() for _ in range(nd)]
+        r.att_list()
+        nct = r.i4()
+        r.i4()  # vsize
+        begin = r.i8() if version == 2 else r.i4()
+        shape = tuple(dim_sizes[d] for d in dimids)
+        out[nm] = _VarMeta(tuple(dim_names[d] for d in dimids),
+                           shape, _DTYPES[nct], begin)
+    return out
+
+
+def read_classic_slice(path: str, name: str, lo: int, hi: int,
+                       meta: Optional[Dict[str, _VarMeta]] = None
+                       ) -> np.ndarray:
+    """Read rows [lo, hi) of a fixed-size variable's leading axis by
+    seeking to its byte range — IO proportional to the slice, not the
+    file.  (Record variables are interleaved per record; forcing/domain
+    files here are record-free.)"""
+    meta = meta or read_classic_meta(path)
+    v = meta[name]
+    inner = int(np.prod(v.shape[1:], dtype=np.int64)) \
+        if len(v.shape) > 1 else 1
+    if not v.shape:  # scalar: slicing degenerates to the value
+        with open(path, "rb") as f:
+            f.seek(v.begin)
+            a = np.fromfile(f, v.dtype, 1)
+        return a.astype(v.dtype.newbyteorder("="))[0]
+    hi = min(hi, v.shape[0])
+    with open(path, "rb") as f:
+        f.seek(v.begin + lo * inner * v.dtype.itemsize)
+        a = np.fromfile(f, v.dtype, (hi - lo) * inner)
+    return a.reshape((hi - lo,) + v.shape[1:]).astype(
+        v.dtype.newbyteorder("="))
+
+
+def read_arrays_slice(path: str, lo: int, hi: int,
+                      axis_len: Optional[int] = None
+                      ) -> Dict[str, np.ndarray]:
+    """Slice every variable whose leading axis looks like the land-point
+    axis (length ``axis_len`` when given, else the file's longest
+    leading axis); scalars and mismatched variables load whole.
+    NetCDF-4 files use h5py's native dataset slicing."""
+    kind = sniff(path)
+    if kind == "hdf5":
+        import h5py
+        out = {}
+        with h5py.File(path, "r") as f:
+            def visit(name, obj):
+                if not isinstance(obj, h5py.Dataset):
+                    return
+                if obj.attrs.get("NAME", b"").startswith(
+                        b"This is a netCDF dimension"):
+                    return
+                n0 = obj.shape[0] if obj.ndim else None
+                if n0 is not None and (n0 == axis_len
+                                       or axis_len is None):
+                    out[name.split("/")[-1]] = obj[lo:min(hi, n0)]
+                else:
+                    out[name.split("/")[-1]] = obj[()]
+            f.visititems(visit)
+        return out
+    meta = read_classic_meta(path)
+    if axis_len is None:
+        lens = [v.shape[0] for v in meta.values() if v.shape]
+        axis_len = max(lens) if lens else 0
+    out = {}
+    for nm, v in meta.items():
+        if v.shape and v.shape[0] == axis_len:
+            out[nm] = read_classic_slice(path, nm, lo, hi, meta)
+        else:
+            out[nm] = read_classic_slice(path, nm, 0,
+                                         v.shape[0] if v.shape else 1,
+                                         meta)
+    return out
+
+
 # ---------------------------------------------------------------------
 # classic writer
 

@@ -24,7 +24,8 @@ from . import io as io_mod
 def run_offline(cfg: Config, verbose=True, forcing_provider=None,
                 static=None, state=None, n_points=None,
                 check_budgets_every: int = 0, mesh=None,
-                use_orbax=None):
+                use_orbax=None, dispatch: str = "auto",
+                chunk_pointsteps: int = 2 ** 21):
     """Run the offline case described by ``cfg``.  Returns
     (final_state, output_files).  ``check_budgets_every`` > 0 asserts
     the conservation residuals every N steps (the reference's runtime
@@ -37,6 +38,14 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
     defaults to True exactly when running sharded and orbax is present.
     Orbax checkpoint steps are epoch seconds of the model time, so a
     restarted run resumes at the checkpointed timestamp.
+
+    ``dispatch``: "chunk" (default via "auto") advances whole
+    output/restart windows per device call with a jitted lax.scan,
+    accumulating output-window flux means on device (driver/step.py
+    make_chunk_step) — one dispatch + one stacked forcing upload per
+    chunk instead of ~30 per step.  "step" is the per-step loop.
+    ``chunk_pointsteps`` caps chunk length x points (stacked-forcing
+    memory bound: 15 f32 leaves x cap ~= 120 MB at the default).
     """
     params = load_params(cfg.veg_scheme, cfg.soil_scheme)
 
@@ -96,27 +105,88 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
 
     from .config import as_cadence
     res_cad = as_cadence(cfg.resfreq)
+
+    def save_restart_at(when, state):
+        if ckpt is not None:
+            # async save overlaps the next model steps
+            ckpt.save(int((when - _ANCHOR).total_seconds()), state)
+        else:
+            io_mod.save_restart(
+                os.path.join(
+                    cfg.resdir,
+                    "restart_" + when.strftime("%Y%m%d%H%M") + ".nc"),
+                state, when)
+
+    if dispatch == "auto":
+        dispatch = "chunk"
+
     t0 = time.perf_counter()
     nsteps = 0
-    while when < cfg.enddatetime:
-        forcing = forcing_provider(when)
-        state, flux = step(static, forcing, state)
-        when = when + cfg.timestep
-        nsteps += 1
-        if check_budgets_every and nsteps % check_budgets_every == 0:
-            from .. import utils
-            utils.check_budgets(flux, ist=static.ist)
-        writer.push(when, flux, state)
-        if res_cad.due(when):
-            if ckpt is not None:
-                # async save overlaps the next model steps
-                ckpt.save(int((when - _ANCHOR).total_seconds()), state)
-            else:
-                io_mod.save_restart(
-                    os.path.join(
-                        cfg.resdir,
-                        "restart_" + when.strftime("%Y%m%d%H%M")
-                        + ".nc"), state, when)
+    errwat_max = np.float32(0.0)
+    if dispatch == "chunk":
+        from .step import make_chunk_step
+        import jax
+        acc_spec = tuple((f, "sum") for f in writer.fields) + (
+            ("errsw", "absmax"), ("erreng", "absmax"),
+            ("errwat", "absmax"))
+        chunk = make_chunk_step(params, cfg.options, cfg.dt,
+                                acc_spec=acc_spec, donate=False,
+                                mesh=mesh)
+        ts = cfg.timestep
+        cap = max(1, int(chunk_pointsteps) // max(n, 1))
+        acc = None
+        win_steps = 0
+        while when < cfg.enddatetime:
+            boundary = min(writer.outfreq.next_due(when),
+                           res_cad.next_due(when), cfg.enddatetime)
+            steps = int(round((boundary - when).total_seconds()
+                              / ts.total_seconds()))
+            steps = max(1, min(steps, cap))
+            fo = [forcing_provider(when + i * ts)
+                  for i in range(steps)]
+            forcings = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *fo)
+            if acc is None:
+                acc = tuple(np.zeros((n,), np.float32)
+                            for _ in acc_spec)
+            state, acc = chunk(static, forcings, state, acc)
+            when = when + steps * ts
+            nsteps += steps
+            win_steps += steps
+            if check_budgets_every:
+                from .. import utils
+
+                class _Res:  # duck-typed Flux for check_budgets
+                    errsw, erreng, errwat = acc[-3], acc[-2], acc[-1]
+                utils.check_budgets(_Res, ist=static.ist)
+            at_end = when >= cfg.enddatetime
+            if writer.outfreq.due(when) or at_end:
+                errwat_max = float(np.max(np.asarray(acc[-1])))
+                if writer.outfreq.due(when):
+                    # trailing partial windows are not written, same
+                    # as the per-step path's cadence contract
+                    means = {f: np.asarray(a) / max(1, win_steps)
+                             for (f, _op), a in zip(acc_spec, acc)
+                             if _op == "sum"}
+                    writer.push_window(when, means, state)
+                    acc = None
+                    win_steps = 0
+            if res_cad.due(when):
+                save_restart_at(when, state)
+    else:
+        while when < cfg.enddatetime:
+            forcing = forcing_provider(when)
+            state, flux = step(static, forcing, state)
+            when = when + cfg.timestep
+            nsteps += 1
+            if check_budgets_every \
+                    and nsteps % check_budgets_every == 0:
+                from .. import utils
+                utils.check_budgets(flux, ist=static.ist)
+            writer.push(when, flux, state)
+            if res_cad.due(when):
+                save_restart_at(when, state)
+            errwat_max = float(np.max(np.abs(np.asarray(flux.errwat))))
     if ckpt is not None:
         ckpt.close()
     elapsed = time.perf_counter() - t0
@@ -125,6 +195,5 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
         rate = n * nsteps / max(elapsed, 1e-9)
         print(f"noahmp_tpu: {nsteps} steps x {n} points in "
               f"{elapsed:.2f}s  ({rate:,.0f} point-steps/s)")
-        print(f"  max |errwat| last step: "
-              f"{float(np.max(np.abs(np.asarray(flux.errwat)))):.3e} mm")
+        print(f"  max |errwat| last window: {errwat_max:.3e} mm")
     return state, writer._files

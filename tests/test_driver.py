@@ -272,3 +272,79 @@ def test_file_forcing_interpolation_and_prefetch(tmp_path):
     assert key in ff._cache
     # cosz is computed, not read
     assert np.all(np.abs(np.asarray(f.cosz)) <= 1.0)
+
+
+def test_chunk_dispatch_matches_per_step(tmp_path):
+    """The chunked lax.scan dispatch (one device call per output
+    window, on-device flux accumulation) must reproduce the per-step
+    loop: same final state, same output means."""
+    from noahmp_tpu.driver.run import run_offline
+
+    def cfg_for(tag):
+        cfg = Config.from_namelist(CASE)
+        cfg.enddatetime = cfg.begdatetime + datetime.timedelta(hours=3)
+        cfg.outdir = str(tmp_path / f"out_{tag}")
+        cfg.resdir = str(tmp_path / f"res_{tag}")
+        cfg.outfreq = datetime.timedelta(hours=1)
+        cfg.constfile = str(tmp_path / "nodomain.npz")
+        cfg.initfile = str(tmp_path / "noinit.npz")
+        cfg.indir = str(tmp_path / "noin")
+        return cfg
+
+    st_a, files_a = run_offline(cfg_for("step"), verbose=False,
+                                n_points=4, dispatch="step")
+    st_b, files_b = run_offline(cfg_for("chunk"), verbose=False,
+                                n_points=4, dispatch="chunk")
+    assert len(files_a) == len(files_b) == 3
+    for name in st_a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_a, name)),
+            np.asarray(getattr(st_b, name)), err_msg=name)
+    for fa, fb in zip(files_a, files_b):
+        a = io_mod.load_arrays(fa)
+        b = io_mod.load_arrays(fb)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0, atol=1e-5,
+                                       err_msg=k)
+
+
+def test_chunk_dispatch_respects_chunk_cap(tmp_path):
+    """A chunk cap smaller than the output window still lands output
+    exactly on window boundaries with correct means."""
+    from noahmp_tpu.driver.run import run_offline
+
+    cfg = Config.from_namelist(CASE)
+    cfg.enddatetime = cfg.begdatetime + datetime.timedelta(hours=2)
+    cfg.outdir = str(tmp_path / "out")
+    cfg.resdir = str(tmp_path / "res")
+    cfg.outfreq = datetime.timedelta(hours=1)
+    cfg.constfile = str(tmp_path / "nodomain.npz")
+    cfg.initfile = str(tmp_path / "noinit.npz")
+    cfg.indir = str(tmp_path / "noin")
+    # cap = 8 pointsteps / 4 points = 2 steps/chunk; window = 4 steps
+    st, files = run_offline(cfg, verbose=False, n_points=4,
+                            dispatch="chunk", chunk_pointsteps=8)
+    assert len(files) == 2
+    out = io_mod.load_arrays(files[0])
+    assert np.all(np.isfinite(out["fsh"]))
+
+
+def test_cadence_next_due():
+    from noahmp_tpu.driver.config import Cadence
+    c3h = Cadence(seconds=3 * 3600.0)
+    t = datetime.datetime(2000, 2, 28, 22, 15)
+    assert c3h.next_due(t) == datetime.datetime(2000, 2, 29, 0, 0)
+    assert c3h.next_due(datetime.datetime(2000, 1, 1, 0, 0)) \
+        == datetime.datetime(2000, 1, 1, 3, 0)
+    c1m = Cadence(months=1)
+    assert c1m.next_due(t) == datetime.datetime(2000, 3, 1)
+    assert c1m.next_due(datetime.datetime(2000, 3, 1)) \
+        == datetime.datetime(2000, 4, 1)
+    c2m = Cadence(months=2)
+    nd = c2m.next_due(datetime.datetime(2000, 2, 15))
+    assert nd == datetime.datetime(2000, 3, 1) \
+        if (2000 * 12 + 2) % 2 == 0 else nd
+    assert c2m.due(nd)
+    c1y = Cadence(years=1)
+    assert c1y.next_due(t) == datetime.datetime(2001, 1, 1)

@@ -219,3 +219,74 @@ def test_output_writer_nc4(tmp_path):
     ds = netcdf.read(files[0])
     np.testing.assert_allclose(ds.variables["fsa"].data,
                                np.full((n,), 1.5), rtol=1e-6)
+
+
+def test_classic_slice_read(tmp_path):
+    """Byte-range slicing of classic variables matches full reads
+    (the CONUS-scale sharded-ingestion path)."""
+    p = str(tmp_path / "slice.nc")
+    rng = np.random.default_rng(1)
+    arrays = {
+        "sfctmp": rng.random(1000).astype(np.float32) * 30 + 270,
+        "smc": rng.random((1000, 4)).astype(np.float32),
+        "zsoil": np.array([-0.1, -0.4, -1.0, -2.0], np.float32),
+        "count": np.int32(7),
+    }
+    netcdf.write_classic(p, arrays)
+    meta = netcdf.read_classic_meta(p)
+    assert meta["smc"].shape == (1000, 4)
+    np.testing.assert_array_equal(
+        netcdf.read_classic_slice(p, "sfctmp", 100, 200),
+        arrays["sfctmp"][100:200])
+    np.testing.assert_array_equal(
+        netcdf.read_classic_slice(p, "smc", 990, 1000),
+        arrays["smc"][990:])
+    d = netcdf.read_arrays_slice(p, 250, 500)
+    np.testing.assert_array_equal(d["sfctmp"], arrays["sfctmp"][250:500])
+    np.testing.assert_array_equal(d["smc"], arrays["smc"][250:500])
+    np.testing.assert_array_equal(d["zsoil"], arrays["zsoil"])
+
+
+def test_hdf5_slice_read(tmp_path):
+    pytest.importorskip("h5py")
+    p = str(tmp_path / "slice.nc4")
+    rng = np.random.default_rng(2)
+    arrays = {"q2": rng.random(512).astype(np.float32) * 0.01,
+              "lat": rng.random(512).astype(np.float32)}
+    netcdf.write_hdf5(p, arrays)
+    d = netcdf.read_arrays_slice(p, 64, 128, axis_len=512)
+    np.testing.assert_array_equal(d["q2"], arrays["q2"][64:128])
+    np.testing.assert_array_equal(d["lat"], arrays["lat"][64:128])
+
+
+def test_file_forcing_points_slice(tmp_path):
+    """FileForcing with points_slice reads only its shard of the
+    global forcing file."""
+    import datetime as dtmod
+    from noahmp_tpu.driver import io
+    from noahmp_tpu.state import init_static
+
+    n_global, lo, hi = 64, 16, 32
+    indir = tmp_path / "ldasin"
+    indir.mkdir()
+    rng = np.random.default_rng(3)
+    base = {
+        "sfctmp": rng.random(n_global).astype(np.float32) * 20 + 275,
+        "sfcprs": np.full(n_global, 9.0e4, np.float32),
+        "q2": np.full(n_global, 0.007, np.float32),
+        "uu": np.full(n_global, 2.0, np.float32),
+        "vv": np.full(n_global, 1.0, np.float32),
+        "soldn": np.full(n_global, 400.0, np.float32),
+        "lwdn": np.full(n_global, 330.0, np.float32),
+        "prcp": np.full(n_global, 1e-4, np.float32),
+    }
+    for hr in (0, 1):
+        netcdf.write_classic(str(indir / f"200001010{hr}.nc"), base)
+
+    static = init_static(hi - lo)
+    ff = io.FileForcing(str(indir), dtmod.timedelta(hours=1), static,
+                        prefetch=False, points_slice=(lo, hi))
+    f = ff(dtmod.datetime(2000, 1, 1, 0, 30))
+    assert f.sfctmp.shape == (hi - lo,)
+    np.testing.assert_allclose(f.sfctmp, base["sfctmp"][lo:hi],
+                               atol=1e-5)
