@@ -40,6 +40,8 @@ def main(variant="major", n=65536, nsteps=20):
 
     if variant == "unroll":
         tuning.HOT_LOOP_UNROLL = True
+    elif variant.startswith("unroll"):  # unroll2/unroll4/...: partial
+        tuning.HOT_LOOP_UNROLL = int(variant[6:])
 
     params, opts, static, forcing, state = _build(n)
 

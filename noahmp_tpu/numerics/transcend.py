@@ -1,0 +1,71 @@
+"""Transcendentals with Mosaic-lowerable fallbacks.
+
+The Monin-Obukhov psi functions (physics/sfc.py) need arctan inside
+the canopy/bare Newton loops.  Mosaic (Pallas TPU) has no lowering
+rule for ``atan``, so the fused column kernel switches these helpers
+to a Cephes-style polynomial (the same algorithm float32 libm atanf
+uses: octant reduction at tan(pi/8)/tan(3pi/8) + a degree-4 minimax
+polynomial in x^2; max error ~1 ulp).  The XLA path keeps
+``jnp.arctan`` — bit-compat with the golden oracle is preserved there;
+the Pallas path's ulp-level difference is covered by its own
+comparison tolerances (tests/test_pallas.py).
+
+Usage: ``transcend.atan(x)`` everywhere; ``mosaic_safe()`` context is
+entered by the Pallas kernel builder at trace time.
+"""
+
+import contextlib
+import threading
+
+import jax.numpy as jnp
+
+_STATE = threading.local()
+
+
+def _in_mosaic():
+    return getattr(_STATE, "mosaic", False)
+
+
+@contextlib.contextmanager
+def mosaic_safe():
+    """Trace-time switch: inside this context, atan() emits the
+    polynomial form instead of the atan primitive."""
+    prev = getattr(_STATE, "mosaic", False)
+    _STATE.mosaic = True
+    try:
+        yield
+    finally:
+        _STATE.mosaic = prev
+
+
+_TAN_PI_8 = 0.4142135623730950  # tan(pi/8)
+_TAN_3PI_8 = 2.414213562373095  # tan(3pi/8)
+_PI_2 = 1.5707963267948966
+_PI_4 = 0.7853981633974483
+
+
+def atan_poly(x):
+    """Cephes atanf: valid for all finite x, f32 accuracy ~1 ulp."""
+    sign = jnp.sign(x)
+    x = jnp.abs(x)
+
+    big = x > _TAN_3PI_8
+    mid = (~big) & (x > _TAN_PI_8)
+
+    # guarded range reductions (both branches always evaluate)
+    x_big = -1.0 / jnp.maximum(x, 1e-30)
+    x_mid = (x - 1.0) / (x + 1.0)
+    xr = jnp.where(big, x_big, jnp.where(mid, x_mid, x))
+    y = jnp.where(big, _PI_2, jnp.where(mid, _PI_4, 0.0))
+
+    z = xr * xr
+    poly = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1) * z
+    out = y + poly * xr + xr
+    return sign * out
+
+
+def atan(x):
+    if _in_mosaic():
+        return atan_poly(x)
+    return jnp.arctan(x)

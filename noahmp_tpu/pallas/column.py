@@ -118,14 +118,16 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
         out_specs = [bspec(jnp.zeros(s.shape, s.dtype))
                      for s in out_shapes]
 
-        outs = pl.pallas_call(
-            kernel,
-            grid=(n // block,),
-            in_specs=[bspec(a) for a in in_arrays],
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(*in_arrays)
+        from ..numerics import transcend
+        with transcend.mosaic_safe():
+            outs = pl.pallas_call(
+                kernel,
+                grid=(n // block,),
+                in_specs=[bspec(a) for a in in_arrays],
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(*in_arrays)
 
         n_state = len(stv_leaves)
         new_state = jax.tree_util.tree_unflatten(stv_tdef,

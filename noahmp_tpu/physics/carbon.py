@@ -8,6 +8,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..numerics.select import vsel
 from ..constants import MSNOW, NSOIL, MPE
 
 
@@ -39,7 +40,7 @@ def carbon(veg, lutyp, sltyp_smcmax, dt, zsoil, dzsoil, stc, smc, tv,
     wstres = 1.0 - btran
     layer = jnp.arange(NSOIL)
     in_root = layer < nroot
-    zroot = -zsoil[jnp.maximum(nroot - 1, 0)]
+    zroot = -vsel(zsoil, jnp.maximum(nroot - 1, 0))
     wroot = jnp.sum(jnp.where(in_root,
                               smc / sltyp_smcmax * dzsoil / zroot, 0.0))
 

@@ -14,6 +14,7 @@ from ..constants import (MSNOW, NSOIL, MPE, TFRZ, GRAV, RVAP, SB, CPAIR,
                          HVAP, HSUB)
 from . import thermo, radiation as rad_mod, flux as flux_mod
 from . import soiltemp
+from ..numerics.select import vsel
 
 PSIWLT = -150.0   # matric potential at wilting (m) (func:1017)
 Z0_BARE = 0.01    # bare-soil roughness length (m) (func:1018)
@@ -172,7 +173,7 @@ def energy(params, opts, st, dt, nsnow, dzsnso, rhoair, sfcprs, psfc,
                                              / smcmax) ** (-bexp))
         gx = 1.0 - jnp.exp(-5.8 * jnp.log(PSIWLT / psi))
     gx = jnp.clip(gx, 0.0, 1.0)
-    zroot = -zsoil[nroot - 1]
+    zroot = -vsel(zsoil, jnp.maximum(nroot - 1, 0))
     dz_soil = dzsnso[MSNOW:]
     btrani_raw = jnp.maximum(MPE, dz_soil / zroot * gx)
     btrani_raw = jnp.where(in_root, btrani_raw, 0.0)
@@ -204,10 +205,11 @@ def energy(params, opts, st, dt, nsnow, dzsnso, rhoair, sfcprs, psfc,
     gammag = CPAIR * sfcprs / (0.622 * latheag)
 
     # top active layer scalars for the ground heat flux terms
+    # (traced index -> one-hot select, numerics/select.py)
     top = MSNOW - nsnow
-    stc_top = stc[top]
-    df_top = th.df[top]
-    dz_top = dzsnso[top]
+    stc_top = vsel(stc, top)
+    df_top = vsel(th.df, top)
+    dz_top = vsel(dzsnso, top)
 
     # vegetated-tile fluxes (always evaluated; masked into aggregation)
     vf = flux_mod.vege_flux(

@@ -6,6 +6,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..numerics.select import vsel
+
 
 class PhenologyOut(NamedTuple):
     lai: jnp.ndarray    # leaf area index before snow burial
@@ -31,10 +33,12 @@ def phenology(veg, lutyp, snowh, tv, lat, yearlen, julian, lai, sai,
         wt2 = 1.0 - wt1
         it1 = jnp.where(it1 < 1, 12, it1)
         it2 = jnp.where(it2 > 12, 1, it2)
-        lai = (wt1 * veg.lai12m[lutyp, it1 - 1]
-               + wt2 * veg.lai12m[lutyp, it2 - 1])
-        sai = (wt1 * veg.sai12m[lutyp, it1 - 1]
-               + wt2 * veg.sai12m[lutyp, it2 - 1])
+        # gather the class row once, then one-hot select the two
+        # bracketing months (it1/it2 are traced; numerics/select.py)
+        lai_row = veg.lai12m[lutyp]
+        sai_row = veg.sai12m[lutyp]
+        lai = wt1 * vsel(lai_row, it1 - 1) + wt2 * vsel(lai_row, it2 - 1)
+        sai = wt1 * vsel(sai_row, it1 - 1) + wt2 * vsel(sai_row, it2 - 1)
 
     sai = jnp.where(sai < 0.05, 0.0, sai)
     lai = jnp.where((lai < 0.05) | (sai == 0.0), 0.0, lai)

@@ -10,6 +10,7 @@ applied to the outputs.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import MPE, TFRZ
@@ -102,9 +103,15 @@ def _gaps(veg, gen, lutyp, cosz, vai, fveg, opt_rad: int):
         denfveg = -jnp.log(jnp.maximum(1.0 - fveg, 0.01)) / (pai * rc ** 2)
         hd = veg.hvt[lutyp] - veg.hvb[lutyp]
         bb = 0.5 * hd
-        thetap = jnp.arctan(bb / rc * jnp.tan(jnp.arccos(
-            jnp.clip(jnp.maximum(0.01, cosz), -1.0, 1.0))))
-        bgap = jnp.exp(-denfveg * pai * rc ** 2 / jnp.cos(thetap))
+        # reference: THETAP = atan(b/R * tan(acos(cosz))), then
+        # cos(THETAP) (func:2311-2317).  Only the cosine is consumed,
+        # so use cos(atan(t)) = rsqrt(1+t^2) with t = b/R*tan(acos(c))
+        # = b/R*sqrt(1-c^2)/c — algebraically exact, 4 fewer
+        # transcendentals, and Mosaic-lowerable (no acos rule on TPU).
+        c = jnp.clip(jnp.maximum(0.01, cosz), -1.0, 1.0)
+        t = bb / rc * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0)) / c
+        cos_thetap = jax.lax.rsqrt(1.0 + t * t)
+        bgap = jnp.exp(-denfveg * pai * rc ** 2 / cos_thetap)
         fa = vai / jnp.maximum(1.33 * pai * rc ** 3 * (bb / rc) * denfveg,
                                MPE)
         newvai = hd * fa

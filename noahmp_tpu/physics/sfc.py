@@ -13,6 +13,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
+from ..numerics import transcend
 from ..constants import MPE, GRAV, KARMAN, CPAIR, RGAS, TFRZ
 from .. import tuning
 
@@ -114,7 +115,7 @@ def sfcdif1(first, carry: Sfcdif1Carry, sfctmp, rhoair, h, qair, zlvl,
         t1 = (1.0 - 16.0 * jnp.minimum(m, 0.0)) ** 0.25
         t2 = jnp.log((1.0 + t1 * t1) / 2.0)
         t3 = jnp.log((1.0 + t1) / 2.0)
-        fmn = 2.0 * t3 + t2 - 2.0 * jnp.arctan(t1) + 1.5707963
+        fmn = 2.0 * t3 + t2 - 2.0 * transcend.atan(t1) + 1.5707963
         fhn = 2.0 * t2
         return fmn, fhn
 
@@ -178,7 +179,7 @@ def sfcdif2(first, carry: Sfcdif2Carry, z0, thz0, thlm, sfcspd, czil,
     def pspmu(xx):
         return (-2.0 * jnp.log((xx + 1.0) * 0.5)
                 - jnp.log((xx * xx + 1.0) * 0.5)
-                + 2.0 * jnp.arctan(xx) - pihf)
+                + 2.0 * transcend.atan(xx) - pihf)
 
     def psphu(xx):
         return -2.0 * jnp.log((xx * xx + 1.0) * 0.5)

@@ -11,6 +11,7 @@ Written column-wise (0-d scalars + small layer vectors) and batched with
 import jax
 import jax.numpy as jnp
 
+from ..numerics.select import vsel
 from ..constants import MSNOW, NSOIL, MPE
 from ..state import State, Static, Forcing, Flux
 from . import atm as atm_mod
@@ -46,7 +47,7 @@ def column_step(params, opts, static: Static, forcing: Forcing,
     nroot = veg_p.nroot[lutyp]
     layer = jnp.arange(NSOIL)
     in_root = layer < nroot
-    zroot = -zsoil[jnp.maximum(nroot - 1, 0)]
+    zroot = -vsel(zsoil, jnp.maximum(nroot - 1, 0))
     troot = jnp.sum(jnp.where(in_root,
                               st.stc[MSNOW:] * dz_soil / zroot, 0.0))
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..constants import (MSNOW, MPE, TFRZ, TTRI, CICE, CWAT,
                          HFUS, DENICE, DENWAT)
+from ..numerics.select import vsel, vperm, cumsum_small
 
 def _i3():
     return jnp.arange(MSNOW)
@@ -113,7 +114,7 @@ def compact(p: Pack, dt, imelt3, ficeold) -> Pack:
 
     # burden: mass of overlying active layers (exclusive prefix sum)
     wx_act = jnp.where(active, wx, 0.0)
-    burden = jnp.cumsum(wx_act) - wx_act
+    burden = cumsum_small(wx_act) - wx_act
 
     bi = p.ice / dzs
     td = jnp.maximum(0.0, TFRZ - p.stc)
@@ -148,13 +149,15 @@ def combine(p: Pack) -> Pack:
 
         if pp != MSNOW - 1:
             # merge into the layer below (func:5278-5280)
-            liq = liq.at[pp + 1].add(jnp.where(cond, liq[pp], 0.0))
-            ice = ice.at[pp + 1].add(jnp.where(cond, ice[pp], 0.0))
+            nxt = _i3() == pp + 1
+            liq = liq + jnp.where(nxt & cond, liq[pp], 0.0)
+            ice = ice + jnp.where(nxt & cond, ice[pp], 0.0)
         else:
             multi = n0 > 1  # reference tests ISNOW_OLD < -1 (func:5282)
             m_up = cond & multi
-            liq = liq.at[pp - 1].add(jnp.where(m_up, liq[pp], 0.0))
-            ice = ice.at[pp - 1].add(jnp.where(m_up, ice[pp], 0.0))
+            prv = _i3() == pp - 1
+            liq = liq + jnp.where(prv & m_up, liq[pp], 0.0)
+            ice = ice + jnp.where(prv & m_up, ice[pp], 0.0)
             # single-layer collapse (func:5286-5302)
             m_col = cond & ~multi
             pos = ice[pp] >= 0.0
@@ -167,9 +170,10 @@ def combine(p: Pack) -> Pack:
             sice0 = jnp.where(m_col & ~pos & (p1_neg < 0.0),
                               jnp.maximum(0.0, sice0 + p1_neg
                                           / (p.dzsoil1 * 1000.0)), sice0)
-            liq = liq.at[pp].set(jnp.where(m_col, 0.0, liq[pp]))
-            ice = ice.at[pp].set(jnp.where(m_col, 0.0, ice[pp]))
-            dz = dz.at[pp].set(jnp.where(m_col, 0.0, dz[pp]))
+            cur = _i3() == pp
+            liq = jnp.where(cur & m_col, 0.0, liq)
+            ice = jnp.where(cur & m_col, 0.0, ice)
+            dz = jnp.where(cur & m_col, 0.0, dz)
 
         # shift layers above down one slot (func:5308-5315)
         do_shift = cond & (pp > top_cur) & (nsnow >= 2)
@@ -222,22 +226,26 @@ def combine(p: Pack) -> Pack:
         pi = jnp.asarray(pp)
         is_top_l = pi == top_cur
         is_bot_l = pp == MSNOW - 1
-        below_sum = dz[jnp.minimum(pp + 1, MSNOW - 1)] + dz[pp]
-        above_sum = dz[jnp.maximum(pp - 1, 0)] + dz[pp]
+        below_sum = dz[min(pp + 1, MSNOW - 1)] + dz[pp]
+        above_sum = dz[max(pp - 1, 0)] + dz[pp]
         prefer_above = (~is_top_l) & (not is_bot_l) \
             & (above_sum < below_sum)
         neib_above = prefer_above | is_bot_l
         jj = jnp.where(neib_above, pi, jnp.minimum(pi + 1, MSNOW - 1))
         ll = jnp.where(neib_above, jnp.maximum(pi - 1, 0), pi)
 
-        dzj, liqj, icej, tj = dz[jj], liq[jj], ice[jj], stc[jj]
-        dzl, liql, icel, tl = dz[ll], liq[ll], ice[ll], stc[ll]
+        # one-hot select/set: jj/ll are traced (numerics/select.py)
+        dzj, liqj, icej, tj = (vsel(dz, jj), vsel(liq, jj),
+                               vsel(ice, jj), vsel(stc, jj))
+        dzl, liql, icel, tl = (vsel(dz, ll), vsel(liq, ll),
+                               vsel(ice, ll), vsel(stc, ll))
         dzc, liqc, icec, tc = combo(dzj, liqj, icej, tj,
                                     dzl, liql, icel, tl)
-        dz = dz.at[jj].set(jnp.where(thin, dzc, dz[jj]))
-        liq = liq.at[jj].set(jnp.where(thin, liqc, liq[jj]))
-        ice = ice.at[jj].set(jnp.where(thin, icec, ice[jj]))
-        stc = stc.at[jj].set(jnp.where(thin, tc, stc[jj]))
+        at_jj = thin & (_i3() == jj)
+        dz = jnp.where(at_jj, dzc, dz)
+        liq = jnp.where(at_jj, liqc, liq)
+        ice = jnp.where(at_jj, icec, ice)
+        stc = jnp.where(at_jj, tc, stc)
 
         # shift above the removed slot (func:5391-5398)
         do_shift = thin & (jj - 1 > top_cur)
@@ -264,10 +272,10 @@ def divide(p: Pack) -> Pack:
     n = p.nsnow
     top = _top(n)
     idx = jnp.clip(top + _i3(), 0, MSNOW - 1)
-    dz = p.dz[idx]       # dz[0] = top layer
-    ice = p.ice[idx]
-    liq = p.liq[idx]
-    t = p.stc[idx]
+    dz = vperm(p.dz, idx)    # dz[0] = top layer (idx traced: one-hot)
+    ice = vperm(p.ice, idx)
+    liq = vperm(p.liq, idx)
+    t = vperm(p.stc, idx)
     msno = n
 
     # single layer deeper than 5 cm -> split in two (func:5454-5466)
@@ -333,10 +341,10 @@ def divide(p: Pack) -> Pack:
     k = _i3() - new_top            # top-aligned index for each slot
     valid = k >= 0
     kc = jnp.clip(k, 0, MSNOW - 1)
-    dz_b = jnp.where(valid, dz[kc], 0.0)
-    ice_b = jnp.where(valid, ice[kc], 0.0)
-    liq_b = jnp.where(valid, liq[kc], 0.0)
-    t_b = jnp.where(valid, t[kc], p.stc)
+    dz_b = jnp.where(valid, vperm(dz, kc), 0.0)
+    ice_b = jnp.where(valid, vperm(ice, kc), 0.0)
+    liq_b = jnp.where(valid, vperm(liq, kc), 0.0)
+    t_b = jnp.where(valid, vperm(t, kc), p.stc)
     return p._replace(nsnow=msno, dz=dz_b, ice=ice_b, liq=liq_b,
                       stc=t_b)
 
@@ -375,8 +383,8 @@ def snowh2o(p: Pack, dt, qsnfro, qsnsub, qrain, ssi) -> tuple:
     # deep snow: sublimation from the top layer (func:5763-5778)
     deep = p.nsnow > 0
     top = _top(p.nsnow)
-    wgdif = p.ice[top] - qsnsub * dt + qsnfro * dt
-    ice = p.ice.at[top].set(jnp.where(deep, wgdif, p.ice[top]))
+    wgdif = vsel(p.ice, top) - qsnsub * dt + qsnfro * dt
+    ice = jnp.where(deep & (_i3() == top), wgdif, p.ice)
     p = p._replace(ice=ice)
     # if the top layer lost its ice, re-run combine
     need_combine = deep & (wgdif < 1.0e-6)
@@ -385,9 +393,9 @@ def snowh2o(p: Pack, dt, qsnfro, qsnsub, qrain, ssi) -> tuple:
 
     deep2 = p.nsnow > 0
     top2 = _top(p.nsnow)
-    liq = p.liq.at[top2].set(
-        jnp.where(deep2, jnp.maximum(0.0, p.liq[top2] + qrain * dt),
-                  p.liq[top2]))
+    liq = jnp.where(
+        deep2 & (_i3() == top2),
+        jnp.maximum(0.0, vsel(p.liq, top2) + qrain * dt), p.liq)
     p = p._replace(liq=liq)
 
     # percolation top -> bottom (func:5784-5814)
@@ -415,7 +423,7 @@ def snowh2o(p: Pack, dt, qsnfro, qsnsub, qrain, ssi) -> tuple:
                              * p.dz[j])
         qo = qo * 1000.0
         liq_j = liq_j - jnp.where(act, qo, 0.0)
-        liq = liq.at[j].set(jnp.where(act, liq_j, liq[j]))
+        liq = jnp.where((_i3() == j) & act, liq_j, liq)
         qout = jnp.where(act, qo, qout)
         qin = jnp.where(act, qo, qin)
 

@@ -45,9 +45,15 @@ def tsnosoi(dt, nsnow, tbot, zbot, zsnso, ssoil, df, hcpct, snowh, stc,
     if opt_tbot == 1:
         botflx = jnp.zeros((), stc.dtype)
     else:
-        dtsdz_bot = (stc[-1] - tbot) / (0.5 * (zs[-2] + zs[-1]) - zbotsno)
-        dtsdz = dtsdz.at[-1].set(dtsdz_bot)
-        botflx = -df[-1] * dtsdz_bot
+        # positive static indices: x[-1] lowers as a gather under
+        # vmap (Mosaic-unlowerable); x[N-1] is a slice
+        nl = stc.shape[0]
+        dtsdz_bot = (stc[nl - 1] - tbot) \
+            / (0.5 * (zs[nl - 2] + zs[nl - 1]) - zbotsno)
+        nlev = dtsdz.shape[0]
+        dtsdz = jnp.where(jnp.arange(nlev) == nlev - 1, dtsdz_bot,
+                          dtsdz)
+        botflx = -df[nl - 1] * dtsdz_bot
 
     df_prev = jnp.concatenate([jnp.zeros((1,), df.dtype), df[:-1]])
     dtsdz_prev = jnp.concatenate([jnp.zeros((1,), stc.dtype),
@@ -219,8 +225,9 @@ def phasechange(soil, sltyp, ist, dt, nsnow, fact, dzsnso, stc, snice,
 
     sneqv = jnp.where(do_bulk, sneqv_new, sneqv)
     snowh = jnp.where(do_bulk, snowh_new, snowh)
-    xm = xm.at[MSNOW].set(jnp.where(do_bulk, xm1_new, xm1))
-    hm = hm.at[MSNOW].set(jnp.where(do_bulk, hm1_new, hm1))
+    lay1 = jnp.arange(xm.shape[0]) == MSNOW
+    xm = jnp.where(lay1, jnp.where(do_bulk, xm1_new, xm1), xm)
+    hm = jnp.where(lay1, jnp.where(do_bulk, hm1_new, hm1), hm)
     qmelt = jnp.where(do_bulk, qmelt_b, qmelt)
     ponding = jnp.where(do_bulk, ponding_b, ponding)
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..constants import NSOIL, MPE
 from ..numerics.tridiag import thomas
+from ..numerics.select import vsel, cumsum_small
 
 
 def wdfcnd1(soil, sltyp, smc, fcr):
@@ -48,17 +49,22 @@ def zwteq(soil, sltyp, zsoil, dzsoil, swc):
     nfine = 100
     smcmax = soil.smcmax[sltyp]
     wd1 = jnp.sum((smcmax - swc) * dzsoil)
-    dzfine = 3.0 * (-zsoil[-1]) / nfine
+    dzfine = 3.0 * (-zsoil[NSOIL - 1]) / nfine
     kk = jnp.arange(1, nfine + 1, dtype=swc.dtype)
     zfine = kk * dzfine
-    zwt0 = -3.0 * zsoil[-1] - 0.001
+    zwt0 = -3.0 * zsoil[NSOIL - 1] - 0.001
     temp = 1.0 + (zwt0 - zfine) / soil.psisat[sltyp]
     incr = smcmax * (1.0 - jnp.maximum(temp, MPE)
                      ** (-1.0 / soil.bexp[sltyp])) * dzfine
-    wd2 = jnp.cumsum(incr)
+    wd2 = cumsum_small(incr)
     hit = jnp.abs(wd2 - wd1) <= 0.01
-    first = jnp.argmax(hit)
-    return jnp.where(jnp.any(hit), zfine[first], zwt0)
+    # first-True index without argmax (no Mosaic bool-argmax rule):
+    # min of masked iota; nfine when no hit (masked by any(hit) below)
+    first = jnp.min(jnp.where(hit, jnp.arange(nfine), nfine))
+    # zfine[first] == (first+1)*dzfine exactly (how zfine was built);
+    # avoids a traced 100-vector gather (Mosaic-unlowerable)
+    zhit = (first + 1).astype(swc.dtype) * dzfine
+    return jnp.where(jnp.any(hit), zhit, zwt0)
 
 
 def infil(soil, sltyp, dt, zsoil, swc, sice, sicemax, qinsrf):
@@ -120,9 +126,9 @@ def srt(soil, gen, sltyp, slptyp, dt, zsoil, qinfil, etrani, qseva, swc,
     if opt_run in (1, 2):
         qdrain = jnp.zeros((), smx.dtype)
     elif opt_run == 3:
-        qdrain = gen.slope[slptyp] * wcnd[-1]
+        qdrain = gen.slope[slptyp] * wcnd[NSOIL - 1]
     else:
-        qdrain = (1.0 - fcrmax) * wcnd[-1]
+        qdrain = (1.0 - fcrmax) * wcnd[NSOIL - 1]
 
     wdf_prev = jnp.concatenate([jnp.zeros(1, wdf.dtype), wdf[:-1]])
     wcnd_prev = jnp.concatenate([jnp.zeros(1, wcnd.dtype), wcnd[:-1]])
@@ -223,8 +229,8 @@ def soilh2o(soil, gen, veg, sltyp, slptyp, lutyp, dt, zsoil, dzsoil,
                                sicemax, qinsrf)
     else:
         # BATS: top-2m wetness^4 (func:5953-5968)
-        within = jnp.cumsum(dzsoil) <= 2.0 + MPE
-        within = within.at[0].set(True)
+        within = cumsum_small(dzsoil) <= 2.0 + MPE
+        within = within | (jnp.arange(NSOIL) == 0)
         dztot = jnp.sum(jnp.where(within, dzsoil, 0.0))
         smctot = jnp.sum(jnp.where(within, smc * dzsoil, 0.0)) / dztot
         fsat = jnp.maximum(0.01, smctot / smcmax) ** 4.0
@@ -313,7 +319,9 @@ def groundwater(soil, gen, sltyp, dt, zsoil, sice, wcnd, fcrmax, swc,
     deeper = zwt <= -zsoil  # (NSOIL,) True where table at/above bottom
     cand = deeper[1:]       # for iz = 2..NSOIL
     any_c = jnp.any(cand)
-    first = jnp.argmax(cand)          # 0-based among iz=2..NSOIL
+    # first-True index (min of masked iota; Mosaic-safe, see zwteq)
+    first = jnp.min(jnp.where(cand, jnp.arange(cand.shape[0]),
+                              cand.shape[0]))
     jwt = jnp.where(any_c, first, NSOIL - 1)  # 0-based IWT
 
     qdis = (1.0 - fcrmax) * 5.0 * jnp.exp(-gen.timean) \
@@ -328,15 +336,17 @@ def groundwater(soil, gen, sltyp, dt, zsoil, sice, wcnd, fcrmax, swc,
     # magnitude under the 10/dt clip below.  Under x64 (CPU validation)
     # the term still promotes to f64 to match the reference exactly.
     hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    s_node = jnp.clip(smc[jwt].astype(hi) / smcmax.astype(hi), 0.01, 1.0)
+    s_node = jnp.clip(vsel(smc, jwt).astype(hi) / smcmax.astype(hi),
+                      0.01, 1.0)
     smpfz = -soil.psisat[sltyp].astype(hi) * 1000.0 * s_node \
         ** (-soil.bexp[sltyp].astype(hi))
     smpfz = jnp.maximum(-120000.0, cmic * smpfz).astype(smc.dtype)
 
-    ka = hk[jwt]
+    ka = vsel(hk, jwt)
+    znode_jwt = vsel(znode, jwt)
     wh_zwt = -zwt * 1.0e3
-    wh = smpfz - znode[jwt] * 1.0e3
-    qin = -ka * (wh_zwt - wh) / jnp.maximum((zwt - znode[jwt]) * 1.0e3,
+    wh = smpfz - znode_jwt * 1.0e3
+    qin = -ka * (wh_zwt - wh) / jnp.maximum((zwt - znode_jwt) * 1.0e3,
                                             MPE)
     qin = jnp.clip(qin, -10.0 / dt, 10.0 / dt)
 
@@ -346,25 +356,27 @@ def groundwater(soil, gen, sltyp, dt, zsoil, sice, wcnd, fcrmax, swc,
     # water table below the soil column (func:6577-6584)
     wa_d = wa + (qin - qdis) * dt
     wt_d = wa_d
-    zwt_d = (-zsoil[-1] + 25.0) - wa_d / 1000.0 / rous
-    mliq_bot_d = mliq[-1] - qin * dt + jnp.maximum(0.0, wa_d - 5000.0)
+    zwt_d = (-zsoil[NSOIL - 1] + 25.0) - wa_d / 1000.0 / rous
+    mliq_bot_d = mliq[NSOIL - 1] - qin * dt \
+        + jnp.maximum(0.0, wa_d - 5000.0)
     wa_d = jnp.minimum(wa_d, 5000.0)
 
     # water table within the column (func:6587-6606)
     near = jwt == NSOIL - 2
-    zwt_near = -zsoil[-1] - (wt - rous * 1000.0 * 25.0) \
-        / epore[-1] / 1000.0
+    zwt_near = -zsoil[NSOIL - 1] - (wt - rous * 1000.0 * 25.0) \
+        / epore[NSOIL - 1] / 1000.0
     idxs = jnp.arange(NSOIL)
     ws = jnp.sum(jnp.where(idxs >= jwt + 2, epore * dzmm, 0.0))
-    zsoil_j1 = zsoil[jnp.minimum(jwt + 1, NSOIL - 1)]
-    epore_j1 = epore[jnp.minimum(jwt + 1, NSOIL - 1)]
+    zsoil_j1 = vsel(zsoil, jnp.minimum(jwt + 1, NSOIL - 1))
+    epore_j1 = vsel(epore, jnp.minimum(jwt + 1, NSOIL - 1))
     zwt_far = -zsoil_j1 - (wt - rous * 1000.0 * 25.0 - ws) \
         / epore_j1 / 1000.0
     zwt_s = jnp.where(near, zwt_near, zwt_far)
     wtsub = jnp.sum(hk * dzmm)
     mliq_s = mliq - qdis * dt * hk * dzmm / jnp.maximum(wtsub, MPE)
 
-    mliq = jnp.where(deep, mliq.at[-1].set(mliq_bot_d), mliq_s)
+    mliq_d = jnp.where(jnp.arange(NSOIL) == NSOIL - 1, mliq_bot_d, mliq)
+    mliq = jnp.where(deep, mliq_d, mliq_s)
     wa = jnp.where(deep, wa_d, wa)
     wt = jnp.where(deep, wt_d, wt)
     zwt = jnp.where(deep, zwt_d, zwt_s)

@@ -107,6 +107,7 @@ def thermoprop(soil, veg, gen, sltyp, lutyp, ist, nsnow, dt, dzsnso,
     # layered snow: blend with the lowest snow layer (slot MSNOW-1)
     dz0 = dzsnso[MSNOW - 1]
     df1_lay = (df1 * dz1 + df[MSNOW - 1] * dz0) / jnp.maximum(dz0 + dz1, MPE)
-    df = df.at[MSNOW].set(jnp.where(nsnow == 0, df1_bulk, df1_lay))
+    df = jnp.where(jnp.arange(df.shape[0]) == MSNOW,
+                   jnp.where(nsnow == 0, df1_bulk, df1_lay), df)
 
     return ThermoOut(df, hcpct, fact, snow.snicev, snow.snliqv, snow.epore)

@@ -7,6 +7,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..numerics.select import cumsum_small
 from ..constants import (MSNOW, NSOIL, NLEVELS, MPE, TFRZ, HVAP, HSUB,
                          CICE, CWAT, HFUS, DENICE, DENWAT)
 from . import snow as snow_mod
@@ -201,9 +202,12 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
     bot = MSNOW - 1
     bdsnow = ice[bot] / jnp.maximum(dz3[bot], MPE)
     snoflow_mm = jnp.where(over, p.sneqv - 2000.0, 0.0)
-    ice = ice.at[bot].add(-snoflow_mm)
-    dz3 = dz3.at[bot].add(-jnp.where(over, snoflow_mm
-                                     / jnp.maximum(bdsnow, MPE), 0.0))
+    # where-mask updates: .at[].add lowers as scatter, which Mosaic
+    # cannot lower and vmapped XLA serializes (numerics/select.py)
+    is_bot = jnp.arange(MSNOW) == bot
+    ice = ice - jnp.where(is_bot, snoflow_mm, 0.0)
+    dz3 = dz3 - jnp.where(is_bot & over,
+                          snoflow_mm / jnp.maximum(bdsnow, MPE), 0.0)
     snoflow = snoflow_mm / dt
 
     # layered pack mass (func:5147-5152)
@@ -213,7 +217,7 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
 
     # rebuild zsnso/dzsnso (func:5154-5172)
     dz_full = jnp.concatenate([dz3, dz_soil])
-    zsnso = -jnp.cumsum(dz_full)
+    zsnso = -cumsum_small(dz_full)
     # inactive snow slots must carry zero depth
     full_active = jnp.concatenate([active,
                                    jnp.ones(NSOIL, dtype=bool)])
@@ -221,8 +225,9 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
     dzsnso = jnp.where(full_active, dz_full, 0.0)
 
     stc_out = jnp.concatenate([stc3, stc[MSNOW:]])
-    swc_out = swc.at[0].set(p.swc0)
-    sice_out = sice.at[0].set(p.sice0)
+    lay0 = jnp.arange(NSOIL) == 0
+    swc_out = jnp.where(lay0, p.swc0, swc)
+    sice_out = jnp.where(lay0, p.sice0, sice)
 
     return SnowWaterOut(p.nsnow, p.snowh, sneqv, ice, liq, stc_out,
                         zsnso, dzsnso, swc_out, sice_out, qsnbot,
@@ -297,8 +302,9 @@ def water(params, opts, lutyp, sltyp, slptyp, ist, dt, zsoil, dzsnow,
     qsdew_g = jnp.where(frozen_ground, 0.0, qsdew)
     qseva_g = jnp.where(frozen_ground, 0.0, qseva)
     neg = frozen_ground & (sice0 < 0.0)
-    swc = swc.at[0].set(jnp.where(neg, swc[0] + sice0, swc[0]))
-    sice = sice.at[0].set(jnp.where(neg, 0.0, sice0))
+    l0 = jnp.arange(NSOIL) == 0
+    swc = jnp.where(l0 & neg, swc[0] + sice0, swc)
+    sice = jnp.where(l0, jnp.where(neg, 0.0, sice0), sice)
 
     # surface water input (func:4754-4764)
     qinsrf = (ponding + sw.ponding1 + sw.ponding2) / dt * 0.001

@@ -5,14 +5,18 @@ HOT_LOOP_UNROLL: unroll the fixed-trip Newton/bisection loops
 XLA fuse across iterations and eliminates per-iteration carry
 materialization (~40% fewer memory passes measured on CPU), but blows
 up compile time on slow/remote TPU compilers (>20 min via the axon
-relay vs ~35 s rolled).  Default off; flip before building a step if
-your compiler is fast or you amortize one compile over long runs.
+relay vs ~35 s rolled).  ``lax.fori_loop`` accepts an *int* unroll
+factor, so besides False/True this can be 2/4/... for a partial unroll
+that cuts carry materialization k-fold at ~k-fold body compile cost.
+Default off; set before building a step if your compiler is fast or
+you amortize one compile over long runs.
 """
 
 HOT_LOOP_UNROLL = False
 
 
-def hot_loop_unroll() -> bool:
+def hot_loop_unroll():
+    """bool or int unroll factor, passed straight to lax.fori_loop."""
     return HOT_LOOP_UNROLL
 
 
