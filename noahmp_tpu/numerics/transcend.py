@@ -28,13 +28,41 @@ def _in_mosaic():
 
 @contextlib.contextmanager
 def mosaic_safe():
-    """Trace-time switch: inside this context, atan() emits the
-    polynomial form instead of the atan primitive."""
+    """Trace-time switch for tracing code destined for Mosaic (the
+    Pallas TPU compiler):
+
+    - atan() emits the Cephes polynomial instead of the atan primitive
+      (no Mosaic lowering rule);
+    - every non-trivial *bool* broadcast_in_dim is rerouted through
+      int32 (broadcast in 32-bit, then != 0).  Mosaic cannot insert a
+      minor dim on sub-32-bit types, and a measured repro shows i1
+      major-dim broadcasts hang its layout pass outright — while the
+      32-bit detour compiles.  jnp.where(scalar_cond, vec, vec), which
+      saturates the vmapped column physics, hits this on every call.
+    """
+    import jax
+    from jax import lax
+
     prev = getattr(_STATE, "mosaic", False)
     _STATE.mosaic = True
+
+    prim = lax.broadcast_in_dim_p
+    orig_bind = prim.bind
+
+    def patched_bind(x, *rest, **params):
+        shape = params.get("shape")
+        if (getattr(x, "dtype", None) == jnp.bool_
+                and tuple(getattr(x, "shape", ())) != tuple(shape)):
+            y = orig_bind(jax.lax.convert_element_type(x, jnp.int32),
+                          *rest, **params)
+            return y != 0
+        return orig_bind(x, *rest, **params)
+
+    prim.bind = patched_bind
     try:
         yield
     finally:
+        prim.bind = orig_bind
         _STATE.mosaic = prev
 
 
