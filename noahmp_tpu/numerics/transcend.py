@@ -97,3 +97,29 @@ def atan(x):
     if _in_mosaic():
         return atan_poly(x)
     return jnp.arctan(x)
+
+
+def carry_mask(m):
+    """Make a bool mask safe to thread through a ``lax.fori_loop``
+    carry.  Mosaic relayouts i1 loop-carry vectors through an i8
+    round-trip and fails with "Unsupported target bitwidth for
+    truncation" (arith.trunci vector<i8> -> vector<i1>); i32 carries
+    hit an "Invalid relayout: replicated destination" at the loop
+    boundary instead (both measured on the fused column kernel).  Under
+    ``mosaic_safe()`` masks are therefore carried as float32 0/1 —
+    the native TPU vector dtype.  Read sites compare ``!= 0``, which is
+    the identity on the bool carry of the XLA path — bit-compat there
+    is untouched.
+    """
+    if _in_mosaic():
+        return m.astype(jnp.float32)
+    return m
+
+
+def carry_count(c):
+    """Small integer loop-carry counter (e.g. sfcdif1 MOZSGN): carried
+    as float32 under Mosaic for the same relayout reason as
+    carry_mask; exact for counts far below 2**24."""
+    if _in_mosaic():
+        return c.astype(jnp.float32)
+    return c

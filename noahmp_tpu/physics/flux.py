@@ -16,6 +16,7 @@ from jax import lax
 
 from ..constants import MPE, SB, CPAIR, KARMAN, TFRZ
 from .. import tuning
+from ..numerics import transcend
 from . import sfc
 
 NITERC = 20   # canopy Newton iterations (func:2675)
@@ -130,7 +131,8 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     init = C(tv=tv0, tah=tah0, eah=eah0, cm=cm0, ch=ch0, qsfc=qsfc,
              h=z, hg=z, irc=z, shc=z, evc=z, tr=z, rahc=one, rahg=one,
              rawg=one, cvh=z, fv=z + 0.1, fh2=z,
-             liter=jnp.zeros((), bool), done=jnp.zeros((), bool),
+             liter=transcend.carry_mask(jnp.zeros((), bool)),
+             done=transcend.carry_mask(jnp.zeros((), bool)),
              s1=sfc.sfcdif1_init(z), s2=sfc.Sfcdif2Carry(cm0, ch0, z, z,
                                                          z + 0.1),
              mozg=z, fhg=z)
@@ -231,16 +233,22 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
         hg = rhoair * CPAIR * (tg0 - tah) / rahg
         qsfc_new = (0.622 * eah) / (sfcprs - 0.378 * eah)
 
-        done = c.done | c.liter
-        liter = c.liter | (it_ge5 & (jnp.abs(dtv) <= 0.01) & ~c.liter)
+        # masks carried loop-to-loop via carry_mask (i1 carries break
+        # Mosaic; != 0 is the identity on the XLA bool path)
+        done_b = c.done != 0
+        liter_b = c.liter != 0
+        done = done_b | liter_b
+        liter = liter_b | (it_ge5 & (jnp.abs(dtv) <= 0.01) & ~liter_b)
 
         new = C(tv=tv, tah=tah, eah=eah, cm=cm, ch=ch, qsfc=qsfc_new,
                 h=h, hg=hg, irc=irc, shc=shc, evc=evc, tr=tr, rahc=rahc,
                 rahg=rahg, rawg=rawg, cvh=cvh, fv=fv, fh2=fh2,
-                liter=liter, done=done, s1=s1, s2=s2, mozg=mozg, fhg=fhg)
+                liter=transcend.carry_mask(liter),
+                done=transcend.carry_mask(done),
+                s1=s1, s2=s2, mozg=mozg, fhg=fhg)
         # freeze everything once the column exited the loop
         merged = jax.tree.map(
-            lambda old, upd: jnp.where(c.done, old, upd), c, new)
+            lambda old, upd: jnp.where(done_b, old, upd), c, new)
         return merged, stomata_out
 
     # iteration 1 unrolled (computes stomatal resistance once)

@@ -79,8 +79,9 @@ class Sfcdif1Carry(NamedTuple):
 
 def sfcdif1_init(like):
     z = jnp.zeros_like(like)
-    return Sfcdif1Carry(z, jnp.zeros_like(like, dtype=jnp.int32),
-                        z, z, z, z, z + 0.1)
+    return Sfcdif1Carry(
+        z, transcend.carry_count(jnp.zeros_like(like, dtype=jnp.int32)),
+        z, z, z, z, z + 0.1)
 
 
 def sfcdif1(first, carry: Sfcdif1Carry, sfctmp, rhoair, h, qair, zlvl,
@@ -102,7 +103,7 @@ def sfcdif1(first, carry: Sfcdif1Carry, sfctmp, rhoair, h, qair, zlvl,
     moz = jnp.where(first, 0.0, jnp.minimum(dz / mol, 1.0))
     moz2 = jnp.where(first, 0.0, jnp.minimum((2.0 + z0h) / mol, 1.0))
 
-    mozsgn = carry.mozsgn + (mozold * moz < 0.0).astype(jnp.int32)
+    mozsgn = carry.mozsgn + (mozold * moz < 0.0).astype(carry.mozsgn.dtype)
     flip = mozsgn >= 2
     moz = jnp.where(flip, 0.0, moz)
     moz2 = jnp.where(flip, 0.0, moz2)
@@ -324,18 +325,21 @@ def stomata(veg, lutyp, igs, sfcprs, sfctmp, apar, tv, ea, ei, o2, co2,
 
     def body(_, st):
         cilow, cihigh, rs, psn, done = st
+        done_b = done != 0  # carry_mask'd (i1 carries break Mosaic)
         ci = 0.5 * (cihigh + cilow)
         fci, rs_new, psn_new = ci2ci(ci)
-        rs = jnp.where(done, rs, rs_new)
-        psn = jnp.where(done, psn, psn_new)
+        rs = jnp.where(done_b, rs, rs_new)
+        psn = jnp.where(done_b, psn, psn_new)
         conv = ((cihigh - cilow) <= cierr) | (jnp.abs(fci - ci) <= MPE)
         go_up = fci > ci
-        cilow_n = jnp.where(~done & ~conv & go_up, ci, cilow)
-        cihigh_n = jnp.where(~done & ~conv & ~go_up, ci, cihigh)
-        return cilow_n, cihigh_n, rs, psn, done | conv
+        cilow_n = jnp.where(~done_b & ~conv & go_up, ci, cilow)
+        cihigh_n = jnp.where(~done_b & ~conv & ~go_up, ci, cihigh)
+        return (cilow_n, cihigh_n, rs, psn,
+                transcend.carry_mask(done_b | conv))
 
     z = jnp.zeros_like(co2)
-    init = (z, 1.5 * co2, 1.0 / bp + z, z, jnp.zeros_like(co2, bool))
+    init = (z, 1.5 * co2, 1.0 / bp + z, z,
+            transcend.carry_mask(jnp.zeros_like(co2, bool)))
     _, _, rs, psn, _ = lax.fori_loop(0, 20, body, init,
                                      unroll=tuning.hot_loop_unroll())
     rs = rs * cf

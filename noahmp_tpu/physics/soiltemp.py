@@ -15,6 +15,7 @@ from jax import lax
 from ..constants import (MSNOW, NSOIL, NLEVELS, MPE, TFRZ, HFUS, GRAV)
 from .. import tuning
 from ..numerics.tridiag import thomas, masked_identity_rows
+from ..numerics import transcend
 
 def _idx():
     return jnp.arange(NLEVELS)
@@ -117,12 +118,14 @@ def frh2o(soil, sltyp, tkelv, smc, swc):
         denom = 2.0 * ck / (1.0 + ck * swl) + bx / (smc_safe - swl)
         swlk = jnp.clip(swl - df / denom, 0.0, smc_safe - 0.02)
         dswl = jnp.abs(swlk - swl)
-        swl_new = jnp.where(kcount, swl, swlk)
-        return swl_new, kcount | (dswl <= err)
+        kcount_b = kcount != 0  # carry_mask'd (i1 carries break Mosaic)
+        swl_new = jnp.where(kcount_b, swl, swlk)
+        return swl_new, transcend.carry_mask(kcount_b | (dswl <= err))
 
-    swl, kcount = lax.fori_loop(0, 10, body_safe,
-                                (swl0s, jnp.zeros_like(swl0s, bool)),
-                                unroll=tuning.hot_loop_unroll())
+    swl, kcount = lax.fori_loop(
+        0, 10, body_safe,
+        (swl0s, transcend.carry_mask(jnp.zeros_like(swl0s, bool))),
+        unroll=tuning.hot_loop_unroll())
     free_iter = smc - swl
 
     # Flerchinger explicit fallback when the iteration failed (func:4588-4595)
