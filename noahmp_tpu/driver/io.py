@@ -59,6 +59,33 @@ def save_arrays(path: str, arrays: Dict[str, np.ndarray],
     return path
 
 
+# Valid 1-based index ranges for the per-point type fields (table row
+# counts per params/tables.py: 27 veg classes, 19 soil types, 9 soil
+# colors, 9 slope classes).  The one-hot selects in numerics/select.py
+# silently yield 0 for out-of-range indices — corrupt domain/restart
+# inputs must fail loudly here instead (the reference aborts on bad
+# table indices, module_noahmp_utils.f90:43-53).
+_INDEX_RANGES = {
+    "lutyp": (1, 27), "sltyp": (1, 19), "isc": (1, 9),
+    "slptyp": (1, 9), "ist": (1, 2), "ice": (-1, 1),
+}
+
+
+def validate_static(static: Static, where: str = "domain") -> Static:
+    """Range-check per-point type indices; raise ValueError on any
+    out-of-range value (which would silently zero physics downstream)."""
+    for name, (lo, hi) in _INDEX_RANGES.items():
+        v = np.asarray(getattr(static, name))
+        bad = (v < lo) | (v > hi)
+        if bad.any():
+            idx = np.flatnonzero(np.atleast_1d(bad).ravel())[:5]
+            vals = np.atleast_1d(v).ravel()[idx]
+            raise ValueError(
+                f"{where}: {name} out of range [{lo},{hi}] at points "
+                f"{idx.tolist()} (values {vals.tolist()})")
+    return static
+
+
 def load_domain(path: str) -> Static:
     """Static domain file -> Static pytree (batch axis = land points).
 
@@ -72,7 +99,8 @@ def load_domain(path: str) -> Static:
         if "LU_INDEX" in names and ("XLAT_M" in names
                                     or "XLAT" in names):
             from . import geo
-            return geo.static_from_geo_em(real)[0]
+            return validate_static(geo.static_from_geo_em(real)[0],
+                                   where=path)
     d = load_arrays(path)
     n = len(np.atleast_1d(d["lat"]))
 
@@ -87,14 +115,14 @@ def load_domain(path: str) -> Static:
                                     np.float32))
     zsoil = np.broadcast_to(np.asarray(zsoil, np.float32),
                             (n, NSOIL))
-    return Static(
+    return validate_static(Static(
         lat=get("lat", 0.7), lutyp=get("lutyp", 7, np.int32),
         sltyp=get("sltyp", 6, np.int32),
         slptyp=get("slptyp", 1, np.int32),
         isc=get("isc", 4, np.int32), ist=get("ist", 1, np.int32),
         ice=get("ice", 0, np.int32), zsoil=zsoil,
         shdfac=get("shdfac", 0.7), shdmax=get("shdmax", 0.8),
-        tbot=get("tbot", 285.0), zlvl=get("zlvl", 10.0))
+        tbot=get("tbot", 285.0), zlvl=get("zlvl", 10.0)), where=path)
 
 
 def load_init(path: str, n: int) -> State:
@@ -126,6 +154,15 @@ def load_restart(path: str):
     when = datetime.datetime.fromisoformat(str(ts))
     state = State(**{name: np.asarray(d[name])
                      for name in STATE_FIELDS})
+    # a corrupt restart poisons every downstream step; fail loudly
+    for name in ("tg", "tv", "stc", "smc", "swc", "sneqv", "snowh"):
+        v = np.asarray(getattr(state, name))
+        if not np.isfinite(v).all():
+            raise ValueError(f"restart {path}: non-finite {name}")
+    isnow = np.asarray(state.isnow)
+    if ((isnow < 0) | (isnow > 3)).any():
+        raise ValueError(f"restart {path}: snow layer count out of "
+                         "range [0,3]")
     return state, when
 
 

@@ -39,31 +39,65 @@ def mosaic_safe():
       major-dim broadcasts hang its layout pass outright — while the
       32-bit detour compiles.  jnp.where(scalar_cond, vec, vec), which
       saturates the vmapped column physics, hits this on every call.
+
+    Thread safety: the ``broadcast_in_dim_p.bind`` patch is installed
+    process-wide (primitives are global), but the patched bind defers
+    to the original unless *this thread's* mosaic flag is set — a
+    concurrent trace on another thread sees unpatched semantics.
+    Install/uninstall is refcounted under a lock so nested or
+    concurrent ``mosaic_safe`` contexts compose.
     """
     import jax
-    from jax import lax
 
     prev = getattr(_STATE, "mosaic", False)
     _STATE.mosaic = True
-
-    prim = lax.broadcast_in_dim_p
-    orig_bind = prim.bind
-
-    def patched_bind(x, *rest, **params):
-        shape = params.get("shape")
-        if (getattr(x, "dtype", None) == jnp.bool_
-                and tuple(getattr(x, "shape", ())) != tuple(shape)):
-            y = orig_bind(jax.lax.convert_element_type(x, jnp.int32),
-                          *rest, **params)
-            return y != 0
-        return orig_bind(x, *rest, **params)
-
-    prim.bind = patched_bind
+    _install_bool_broadcast_patch()
     try:
         yield
     finally:
-        prim.bind = orig_bind
+        _uninstall_bool_broadcast_patch()
         _STATE.mosaic = prev
+
+
+_PATCH_LOCK = threading.Lock()
+_PATCH_REFS = 0
+_ORIG_BIND = None
+
+
+def _install_bool_broadcast_patch():
+    global _PATCH_REFS, _ORIG_BIND
+    from jax import lax
+    import jax
+
+    with _PATCH_LOCK:
+        _PATCH_REFS += 1
+        if _PATCH_REFS > 1:
+            return
+        prim = lax.broadcast_in_dim_p
+        _ORIG_BIND = orig_bind = prim.bind
+
+        def patched_bind(x, *rest, **params):
+            if not _in_mosaic():   # thread-local: other threads unaffected
+                return orig_bind(x, *rest, **params)
+            shape = params.get("shape")
+            if (getattr(x, "dtype", None) == jnp.bool_
+                    and tuple(getattr(x, "shape", ())) != tuple(shape)):
+                y = orig_bind(jax.lax.convert_element_type(x, jnp.int32),
+                              *rest, **params)
+                return y != 0
+            return orig_bind(x, *rest, **params)
+
+        prim.bind = patched_bind
+
+
+def _uninstall_bool_broadcast_patch():
+    global _PATCH_REFS
+    from jax import lax
+
+    with _PATCH_LOCK:
+        _PATCH_REFS -= 1
+        if _PATCH_REFS == 0:
+            lax.broadcast_in_dim_p.bind = _ORIG_BIND
 
 
 _TAN_PI_8 = 0.4142135623730950  # tan(pi/8)

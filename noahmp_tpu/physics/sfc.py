@@ -69,7 +69,8 @@ def calhum(sfctmp, sfcprs):
 
 class Sfcdif1Carry(NamedTuple):
     moz: jnp.ndarray
-    mozsgn: jnp.ndarray   # int: sign-change count
+    mozsgn: jnp.ndarray   # sign-change count (int32 on XLA; float32
+    #                       under mosaic_safe via transcend.carry_count)
     fm: jnp.ndarray
     fh: jnp.ndarray
     fm2: jnp.ndarray

@@ -93,18 +93,6 @@ def frh2o(soil, sltyp, tkelv, smc, swc):
 
     swl0 = jnp.clip(smc - swc, 0.0, smc - 0.02)
 
-    def body(_, st):
-        swl, kcount = st
-        df = (jnp.log((psisat * GRAV / HFUS) * (1.0 + ck * swl) ** 2
-                      * (smcmax / (smc - swl)) ** bx)
-              - jnp.log(-(tkelv - TFRZ) / tkelv))
-        denom = 2.0 * ck / (1.0 + ck * swl) + bx / (smc - swl)
-        swlk = jnp.clip(swl - df / denom, 0.0, smc - 0.02)
-        dswl = jnp.abs(swlk - swl)
-        swl_new = jnp.where(kcount, swl, swlk)
-        kcount_new = kcount | (dswl <= err)
-        return swl_new, kcount_new
-
     # guard the log arguments for the warm branch (result unused there)
     tk_safe = jnp.minimum(tkelv, TFRZ - 1.0e-3)
     smc_safe = jnp.maximum(smc, 0.021)
@@ -133,7 +121,7 @@ def frh2o(soil, sltyp, tkelv, smc, swc):
            * ((tk_safe - TFRZ) / tk_safe)) ** (-1.0 / bx)) * smcmax
     fk = jnp.maximum(fk, 0.02)
     free_flerch = jnp.minimum(fk, smc)
-    free = jnp.where(kcount, free_iter, free_flerch)
+    free = jnp.where(kcount != 0, free_iter, free_flerch)
     return jnp.where(tkelv > TFRZ - 1.0e-3, smc, free)
 
 
