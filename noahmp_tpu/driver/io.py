@@ -136,6 +136,17 @@ def load_init(path: str, n: int) -> State:
             updates[name] = np.broadcast_to(
                 np.asarray(d[name], np.asarray(ref).dtype),
                 np.asarray(ref).shape)
+    # liquid water may not exceed total soil water (soil ice =
+    # smc - swc would go negative and corrupt the water budget);
+    # supplying only one of the two implies the other at cold start
+    if "swc" in updates and "smc" not in updates:
+        updates["smc"] = updates["swc"]
+    elif "smc" in updates and "swc" not in updates:
+        updates["swc"] = updates["smc"]
+    if "swc" in updates and (updates["swc"]
+                             > updates["smc"] + 1e-6).any():
+        raise ValueError(f"init {path}: swc (liquid) exceeds smc "
+                         "(total soil water) — negative soil ice")
     return st._replace(**updates)
 
 
@@ -159,8 +170,8 @@ def load_restart(path: str):
         v = np.asarray(getattr(state, name))
         if not np.isfinite(v).all():
             raise ValueError(f"restart {path}: non-finite {name}")
-    isnow = np.asarray(state.isnow)
-    if ((isnow < 0) | (isnow > 3)).any():
+    nsnow = np.asarray(state.nsnow)
+    if ((nsnow < 0) | (nsnow > 3)).any():
         raise ValueError(f"restart {path}: snow layer count out of "
                          "range [0,3]")
     return state, when
