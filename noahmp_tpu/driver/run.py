@@ -142,6 +142,13 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
             steps = int(round((boundary - when).total_seconds()
                               / ts.total_seconds()))
             steps = max(1, min(steps, cap))
+            # power-of-two chunk lengths: jit caches one executable per
+            # stacked-forcing length T, and calendar windows (28/30/31
+            # days, partial tails) would otherwise each compile a fresh
+            # T.  Taking the largest power of two <= remaining bounds
+            # the number of distinct compiles at log2(cap) while still
+            # hitting every cadence boundary exactly.
+            steps = 1 << (steps.bit_length() - 1)
             fo = [forcing_provider(when + i * ts)
                   for i in range(steps)]
             forcings = jax.tree.map(

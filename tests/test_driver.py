@@ -420,3 +420,38 @@ def test_cli_end_to_end_generated_case(tmp_path):
     res = [f for f in os.listdir(os.path.join(outdir, "restart"))
            if f.startswith("restart_")]
     assert len(res) == 1
+
+
+def test_chunk_pow2_decomposition_matches_per_step(tmp_path):
+    """Non-power-of-two windows (7 steps here) are decomposed into
+    power-of-two chunks (4+2+1) so jit compiles at most log2(cap)
+    distinct scan lengths — results must still match the per-step loop
+    and hit every cadence boundary exactly."""
+    from noahmp_tpu.driver.run import run_offline
+
+    def cfg_for(tag):
+        cfg = Config.from_namelist(CASE)
+        cfg.enddatetime = cfg.begdatetime \
+            + datetime.timedelta(seconds=2 * 7 * 900)
+        cfg.outdir = str(tmp_path / f"out_{tag}")
+        cfg.resdir = str(tmp_path / f"res_{tag}")
+        cfg.outfreq = datetime.timedelta(seconds=7 * 900)
+        cfg.constfile = str(tmp_path / "nodomain.npz")
+        cfg.initfile = str(tmp_path / "noinit.npz")
+        cfg.indir = str(tmp_path / "noin")
+        return cfg
+
+    st_a, files_a = run_offline(cfg_for("step"), verbose=False,
+                                n_points=4, dispatch="step")
+    st_b, files_b = run_offline(cfg_for("chunk"), verbose=False,
+                                n_points=4, dispatch="chunk")
+    assert len(files_a) == len(files_b) == 2
+    for name in st_a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_a, name)),
+            np.asarray(getattr(st_b, name)), err_msg=name)
+    for fa, fb in zip(files_a, files_b):
+        a, b = io_mod.load_arrays(fa), io_mod.load_arrays(fb)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0, atol=1e-5,
+                                       err_msg=k)
