@@ -110,9 +110,23 @@ def main():
     ap.add_argument("--points-cap", type=int, default=1_048_576)
     ap.add_argument("--out", default=None,
                     help="also write results JSON to this path")
+    ap.add_argument("--sweep", action="store_true",
+                    help="single-chip batch-size sweep 16k -> 1M "
+                    "(the BASELINE scaling table)")
     args = ap.parse_args()
     wanted = set(args.configs.split(","))
     results = {}
+
+    if args.sweep:
+        for n in (16384, 65536, 262144, 1048576):
+            if n > args.points_cap:
+                break
+            rate = time_step(*build(n), nsteps=max(5, 2**21 // n * 4))
+            results[f"n_{n}"] = rate
+            print(json.dumps({"n": n,
+                              "point_steps_per_sec": round(rate, 1)}),
+                  flush=True)
+        wanted = set()
 
     if "1" in wanted:
         results["single_point"] = time_step(*build(8), nsteps=20)

@@ -2,9 +2,13 @@
 (/root/reference/core/module_noahmp_func.f90), third-party-anchoring
 the self-authored C++ oracle (VERDICT round 1, missing #1 / weak #2).
 
-Requires gfortran (absent from the TPU image): the whole module skips
-unless validate/build_fortran.sh has produced the golden_driver binary
-or gfortran is available to build it on the fly.
+Trajectory source, in order of preference:
+1. committed CSVs under validate/golden/ (produced by
+   validate/make_golden.py on a gfortran host — the CI fortran-golden
+   job does this against a fresh clone of the reference);
+2. a golden_driver binary built by validate/build_fortran.sh;
+3. build on the fly if gfortran + /root/reference are available;
+otherwise skip.
 """
 
 import csv
@@ -44,6 +48,25 @@ def _run_fortran(cfgpath, csvpath):
     return rows
 
 
+def _get_trajectory(name, rows, config, opts_kw, tmp_path):
+    """Committed golden CSV if present, else run the Fortran live."""
+    committed = os.path.join(VALIDATE, "golden", name + ".csv")
+    if os.path.exists(committed):
+        with open(committed) as f:
+            traj = list(csv.DictReader(f))
+        assert traj, f"empty committed golden {committed}"
+        return traj
+    _ensure_driver()
+    import sys
+    sys.path.insert(0, VALIDATE)
+    from golden_case import write_case
+    fcfg = dict(config)
+    for k, v in (opts_kw or {}).items():
+        fcfg[f"opt_{k}"] = v
+    cfgpath, csvpath = write_case(str(tmp_path), rows, fcfg)
+    return _run_fortran(cfgpath, csvpath)
+
+
 @pytest.mark.parametrize("name,config,opts_kw", [
     ("default_veg", dict(lutyp=7, sltyp=6), {}),
     ("forest_cold", dict(lutyp=14, sltyp=4, tg=270.0, tv=270.0,
@@ -53,10 +76,9 @@ def _run_fortran(cfgpath, csvpath):
      dict(crs=2, run=3, inf=2)),
 ])
 def test_fortran_vs_jax_trajectory(name, config, opts_kw, tmp_path):
-    _ensure_driver()
     import sys
     sys.path.insert(0, VALIDATE)
-    from golden_case import diurnal_forcing, write_case
+    from golden_case import diurnal_forcing
 
     from noahmp_tpu.params import load_params
     from noahmp_tpu.options import Options
@@ -65,11 +87,7 @@ def test_fortran_vs_jax_trajectory(name, config, opts_kw, tmp_path):
 
     nsteps = 96
     rows = diurnal_forcing(nsteps=nsteps)
-    fcfg = dict(config)
-    for k, v in (opts_kw or {}).items():
-        fcfg[f"opt_{k}"] = v
-    cfgpath, csvpath = write_case(str(tmp_path), rows, fcfg)
-    traj_f = _run_fortran(cfgpath, csvpath)
+    traj_f = _get_trajectory(name, rows, config, opts_kw, tmp_path)
 
     static_kw = {k: v for k, v in config.items()
                  if k in ("lutyp", "sltyp", "shdfac", "shdmax")}
