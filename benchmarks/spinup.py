@@ -11,8 +11,14 @@ Checkpoints: state saved at every model-month boundary (restart
 payload identical to driver restarts); water-budget drift tracked as
 the running sum and absmax of per-step ERRWAT.
 
-Usage: python benchmarks/spinup.py [n] [years] [chunk_T]
+Usage: python benchmarks/spinup.py [n] [years] [chunk_T] [--step]
 Writes SPINUP_r03.json at the repo root.
+
+--step: per-step dispatch (chunk_T=1, no lax.scan).  The remote
+compiler behind the axon relay takes pathologically long on
+scan-over-column-step graphs at large n (measured: ~2 min at n=2048,
+>25 min at n=131072); the single-step graph compiles in ~35 s and the
+per-step dispatch latency (~7-10 ms) is amortized by the 65k batch.
 """
 
 import json
@@ -78,9 +84,12 @@ def device_forcing(t_sec, static):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-    years = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
-    chunk_T = int(sys.argv[3]) if len(sys.argv) > 3 else 192
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 65536
+    years = float(args[1]) if len(args) > 1 else 2.0
+    chunk_T = int(args[2]) if len(args) > 2 else 192
+    if "--step" in sys.argv:
+        chunk_T = 1
 
     sys.path.insert(0, os.path.join(_REPO, "examples"))
     import make_case
@@ -100,21 +109,27 @@ def main():
     params = load_params("USGS", "STAS")
     opts = Options()
 
+    def one_step(params, static, carry, t):
+        st, acc = carry
+        f = device_forcing(t, static)
+        col = lambda p, s, fo, x: column_step(  # noqa: E731
+            p, opts, s, fo, x, jnp.float32(DT))
+        new_st, flux = jax.vmap(col, in_axes=(None, 0, 0, 0))(
+            params, static, f, st)
+        land = static.ist == 1
+        ew = jnp.where(land, flux.errwat, 0.0)
+        acc = (acc[0] + ew,                       # running sum
+               jnp.maximum(acc[1], jnp.abs(ew)),  # absmax
+               jnp.maximum(acc[2], jnp.abs(jnp.where(
+                   land, flux.erreng, 0.0))))
+        return new_st, acc
+
     def chunk(params, static, state, t0, acc):
+        if chunk_T == 1:   # --step: no scan graph (relay compiler)
+            return one_step(params, static, (state, acc), t0)
+
         def body(carry, i):
-            st, acc = carry
-            f = device_forcing(t0 + i * DT, static)
-            col = lambda p, s, fo, x: column_step(  # noqa: E731
-                p, opts, s, fo, x, jnp.float32(DT))
-            new_st, flux = jax.vmap(col, in_axes=(None, 0, 0, 0))(
-                params, static, f, st)
-            land = static.ist == 1
-            ew = jnp.where(land, flux.errwat, 0.0)
-            acc = (acc[0] + ew,                       # running sum
-                   jnp.maximum(acc[1], jnp.abs(ew)),  # absmax
-                   jnp.maximum(acc[2], jnp.abs(jnp.where(
-                       land, flux.erreng, 0.0))))
-            return (new_st, acc), None
+            return one_step(params, static, carry, t0 + i * DT), None
 
         (state, acc), _ = jax.lax.scan(body, (state, acc),
                                        jnp.arange(chunk_T))

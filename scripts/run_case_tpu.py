@@ -5,7 +5,9 @@ ldasout, daily restart — run uninterrupted, then again as
 day-1 + restart + resume, and check the two final states agree
 bitwise.  Writes CASE_r03.json at the repo root.
 
-Usage: python scripts/run_case_tpu.py [n] [days] [--keep]
+Usage: python scripts/run_case_tpu.py [n] [days] [--keep] [--step]
+(--step: per-step dispatch — the chunked lax.scan graph can hit
+pathological remote-compile times through the axon relay at large n)
 """
 
 import datetime
@@ -43,6 +45,7 @@ def main():
     n = int(args[0]) if args else 131072
     days = int(args[1]) if len(args) > 1 else 2
     keep = "--keep" in sys.argv
+    dispatch = "step" if "--step" in sys.argv else "chunk"
 
     import make_case
     from noahmp_tpu.driver.config import Config
@@ -82,7 +85,8 @@ def main():
     cfg = fresh_cfg("a")
     t0 = time.time()
     st_a, files_a = run_offline(cfg, verbose=True,
-                                check_budgets_every=12)
+                                check_budgets_every=12,
+                                dispatch=dispatch)
     a_s = time.time() - t0
     nsteps = cfg.nsteps
     print(f"[run A {a_s:.1f}s: {nsteps} steps x {n}]", flush=True)
@@ -92,7 +96,8 @@ def main():
     end_full = cfg.enddatetime
     cfg.enddatetime = cfg.begdatetime + datetime.timedelta(days=1)
     t0 = time.time()
-    run_offline(cfg, verbose=False, check_budgets_every=0)
+    run_offline(cfg, verbose=False, check_budgets_every=0,
+                dispatch=dispatch)
     b1_s = time.time() - t0
     res_files = [f for f in os.listdir(cfg.resdir)
                  if f.startswith("restart_")]
@@ -103,7 +108,8 @@ def main():
     cfg.restart = True
     cfg.resfile = sorted(res_files)[-1]
     t0 = time.time()
-    st_b, _ = run_offline(cfg, verbose=False, check_budgets_every=0)
+    st_b, _ = run_offline(cfg, verbose=False, check_budgets_every=0,
+                          dispatch=dispatch)
     b2_s = time.time() - t0
     print(f"[run B {b1_s:.1f}+{b2_s:.1f}s, resumed from "
           f"{cfg.resfile}]", flush=True)
@@ -132,6 +138,7 @@ def main():
         "n_output_files": len(files_a),
         "outputs_finite": finite,
         "budget_asserts": "every 12 steps (errsw/erreng/errwat)",
+        "dispatch": dispatch,
     }
     print(json.dumps(out, indent=2), flush=True)
     with open(os.path.join(_REPO, "CASE_r03.json"), "w") as f:
