@@ -24,18 +24,30 @@ def _iota(x):
 
 def vsel(x, idx):
     """x[..., idx] with a traced in-bounds ``idx`` (scalar per column):
-    one-hot masked sum over the tiny last axis."""
-    return jnp.sum(jnp.where(_iota(x) == idx, x, 0), axis=-1)
+    an unrolled where-chain over the tiny last axis.  Exactly one
+    branch matches, so this is bit-identical to a gather (and to the
+    previous one-hot masked sum).  The unrolled form never
+    materializes a layer-axis mask, which matters under the fused
+    Pallas kernel's nested vmap: ``iota == idx`` (unbatched vector vs
+    batched scalar) batches layer-minor while layer arrays batch
+    layer-major, and the mixed layouts lower as unsupported
+    tpu.transpose ops."""
+    acc = jnp.zeros_like(x[..., 0])
+    for k in range(x.shape[-1]):
+        acc = jnp.where(idx == k, x[..., k], acc)
+    return acc
 
 
 def vset(x, idx, val):
     """x.at[..., idx].set(val) with a traced index."""
-    return jnp.where(_iota(x) == idx, val, x)
+    return jnp.stack([jnp.where(idx == k, val, x[..., k])
+                      for k in range(x.shape[-1])], axis=-1)
 
 
 def vadd(x, idx, val):
     """x.at[..., idx].add(val) with a traced index."""
-    return jnp.where(_iota(x) == idx, x + val, x)
+    return jnp.stack([jnp.where(idx == k, x[..., k] + val, x[..., k])
+                      for k in range(x.shape[-1])], axis=-1)
 
 
 def cumsum_small(x):
@@ -52,7 +64,8 @@ def cumsum_small(x):
 
 def vperm(x, idxvec):
     """x[idxvec] for a traced in-bounds index vector over the same tiny
-    axis (the snow divide() top-aligned permutation): one-hot matrix
-    select, L x L compares for axis length L."""
-    onehot = idxvec[:, None] == _iota(x)[None, :]
-    return jnp.sum(jnp.where(onehot, x[None, :], 0), axis=-1)
+    axis (the snow divide() top-aligned permutation): L x L unrolled
+    selects for axis length L (same op count as the previous one-hot
+    matrix, no layer-axis mask materialized)."""
+    return jnp.stack([vsel(x, idxvec[..., i])
+                      for i in range(x.shape[-1])], axis=-1)

@@ -62,6 +62,130 @@ def mosaic_safe():
 _PATCH_LOCK = threading.Lock()
 _PATCH_REFS = 0
 _ORIG_BIND = None
+_ORIG_CONCAT_RULE = None
+_ORIG_TRANSPOSE_BIND = None
+
+
+def _install_transpose_patch():
+    """Mosaic cannot legalize most tpu.transpose shapes that vmap's
+    batch-dim bookkeeping emits in the fused kernel.  Two rewrites
+    cover every case the column physics produces:
+
+    - permutations that only move singleton dims are pure reshapes;
+    - permutations that move ONE small axis (the layer axis, size<=16)
+      while keeping the rest in order decompose into per-layer slices
+      (each a singleton reshape) concatenated at the target position —
+      data movement Mosaic lowers fine.
+
+    Installed process-wide, inert unless the tracing thread is inside
+    mosaic_safe()."""
+    global _ORIG_TRANSPOSE_BIND
+    import jax
+    from jax import lax
+
+    prim = lax.transpose_p
+    _ORIG_TRANSPOSE_BIND = orig = prim.bind
+
+    def moved_axis(perm):
+        """If perm moves exactly one axis (the others keep their
+        relative order), return that axis, else None."""
+        n = len(perm)
+        for cand in range(n):
+            rest = [p for p in perm if p != cand]
+            if rest == [i for i in range(n) if i != cand]:
+                return cand
+        return None
+
+    def patched(x, *, permutation, **params):
+        if not _in_mosaic():
+            return orig(x, permutation=permutation, **params)
+        perm = tuple(permutation)
+        if perm == tuple(range(len(perm))):
+            return x
+        if x.dtype == jnp.bool_:
+            # reshape/slice of i1 vectors hits Mosaic's sub-32-bit
+            # minor-dim limitation; do the move in 32-bit
+            y = patched(jax.lax.convert_element_type(x, jnp.int32),
+                        permutation=permutation, **params)
+            return y != 0
+        shape = tuple(x.shape)
+        out_shape = tuple(shape[p] for p in perm)
+        # singleton-only move -> reshape
+        ns_in = [i for i in range(len(shape)) if shape[i] != 1]
+        ns_perm = [p for p in perm if shape[p] != 1]
+        if ns_perm == ns_in:
+            return jax.lax.reshape(x, out_shape)
+        a = moved_axis(perm)
+        if a is not None and shape[a] <= 16:
+            tpos = perm.index(a)
+            pieces = []
+            for k in range(shape[a]):
+                sl = jax.lax.slice_in_dim(x, k, k + 1, axis=a)
+                pshape = (out_shape[:tpos] + (1,)
+                          + out_shape[tpos + 1:])
+                pieces.append(jax.lax.reshape(sl, pshape))
+            return jax.lax.concatenate(pieces, tpos)
+        return orig(x, permutation=permutation, **params)
+
+    prim.bind = patched
+
+
+def _uninstall_transpose_patch():
+    from jax import lax
+    if _ORIG_TRANSPOSE_BIND is not None:
+        lax.transpose_p.bind = _ORIG_TRANSPOSE_BIND
+
+
+def _install_concat_batcher():
+    """vmap's stock concatenate batching rule moves every batch dim to
+    the FRONT and concatenates behind it; under the fused kernel's
+    nested (sublane, lane) vmap that materializes layer-minor
+    transposes ((L, bs, 128) -> (bs, 128, L) and back) which Mosaic
+    cannot legalize (tpu.transpose).  This rule keeps batch dims where
+    the operands already carry them, so per-column layer concatenates
+    stay layer-major and no transposes are emitted.  Installed
+    process-wide but inert unless the tracing thread is inside
+    mosaic_safe()."""
+    global _ORIG_CONCAT_RULE
+    from jax import lax
+    from jax._src.interpreters import batching as _b
+
+    _ORIG_CONCAT_RULE = orig_rule = \
+        _b.fancy_primitive_batchers[lax.concatenate_p]
+
+    def rule(axis_data, args, dims, *, dimension, **params):
+        if not _in_mosaic():
+            return orig_rule(axis_data, args, dims,
+                             dimension=dimension, **params)
+        bds = [d for d in dims if d is not None]
+        if not bds:
+            return orig_rule(axis_data, args, dims,
+                             dimension=dimension, **params)
+        target = bds[0]
+        size = [a.shape[d] for a, d in zip(args, dims)
+                if d is not None][0]
+        newargs = []
+        for a, d in zip(args, dims):
+            if d is None:
+                bd = tuple(i if i < target else i + 1
+                           for i in range(a.ndim))
+                shp = (a.shape[:target] + (size,) + a.shape[target:])
+                a = lax.broadcast_in_dim(a, shp, bd)
+            elif d != target:
+                a = _b.moveaxis(a, d, target)
+            newargs.append(a)
+        dim2 = dimension + (1 if dimension >= target else 0)
+        return lax.concatenate(newargs, dim2), target
+
+    _b.fancy_primitive_batchers[lax.concatenate_p] = rule
+
+
+def _uninstall_concat_batcher():
+    from jax import lax
+    from jax._src.interpreters import batching as _b
+    if _ORIG_CONCAT_RULE is not None:
+        _b.fancy_primitive_batchers[lax.concatenate_p] = \
+            _ORIG_CONCAT_RULE
 
 
 def _install_bool_broadcast_patch():
@@ -73,6 +197,8 @@ def _install_bool_broadcast_patch():
         _PATCH_REFS += 1
         if _PATCH_REFS > 1:
             return
+        _install_concat_batcher()
+        _install_transpose_patch()
         prim = lax.broadcast_in_dim_p
         _ORIG_BIND = orig_bind = prim.bind
 
@@ -85,6 +211,25 @@ def _install_bool_broadcast_patch():
                 y = orig_bind(jax.lax.convert_element_type(x, jnp.int32),
                               *rest, **params)
                 return y != 0
+            # Concrete small rank-1 vector broadcast that APPENDS minor
+            # dims (iota/arange constants meeting vmap batch dims):
+            # Mosaic lowers the lanes->major move as tpu.transpose,
+            # which fails to legalize.  Rewrite as a concat of scalar
+            # splats — every piece constant-folds at trace time.
+            bdims = params.get("broadcast_dimensions")
+            import numpy as _np
+            if (not isinstance(x, jax.core.Tracer)
+                    and getattr(x, "ndim", None) == 1
+                    and x.shape[0] <= 32
+                    and len(shape) > 1
+                    and bdims == (0,)
+                    and shape[0] == x.shape[0]):
+                xx = _np.asarray(x)
+                tail = tuple(shape[1:])
+                pieces = [jnp.broadcast_to(jnp.asarray(xx[i]),
+                                           (1,) + tail)
+                          for i in range(xx.shape[0])]
+                return jnp.concatenate(pieces, axis=0)
             return orig_bind(x, *rest, **params)
 
         prim.bind = patched_bind
@@ -98,6 +243,8 @@ def _uninstall_bool_broadcast_patch():
         _PATCH_REFS -= 1
         if _PATCH_REFS == 0:
             lax.broadcast_in_dim_p.bind = _ORIG_BIND
+            _uninstall_concat_batcher()
+            _uninstall_transpose_patch()
 
 
 _TAN_PI_8 = 0.4142135623730950  # tan(pi/8)

@@ -36,7 +36,7 @@ from ..physics.sflx import column_step
 from ..state import Flux
 from ..numerics import transcend
 
-DEFAULT_BLOCK = 256
+DEFAULT_BLOCK = 1024
 LANE = 128
 
 
@@ -65,49 +65,63 @@ def _from_tiles(arr, col_ndim):
 def _split_batched(tree, n, lane):
     """Flatten a pytree into tile-layout kernel inputs.  Leaves already
     batched (leading dim n) are tiled to (..., ns, lane); scalar or
-    replicated leaves are broadcast to (..., ns, lane) (Pallas kernels
-    may not capture array constants).  Returns (arrays, (treedef, spec))
-    where spec marks which leaves were broadcast."""
+    replicated leaves travel as SMEM operands (Pallas kernels may not
+    capture array constants, and extracting a scalar from a VMEM tile
+    does not lower).  Returns (arrays, (treedef, spec)) where spec
+    marks each leaf "b" (tiled) or "r" (SMEM scalar/vector)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     batched, spec = [], []
     for leaf in leaves:
         arr = jnp.asarray(leaf)
+        if arr.ndim >= 1 and arr.shape[0] != n:
+            # small replicated vectors (e.g. the (2,) per-band snow
+            # omega/beta): broadcast per point so they tile uniformly
+            # — SMEM only takes scalars, and a rank-1 kernel constant
+            # would reintroduce the implicit-dim layout problem
+            arr = jnp.broadcast_to(arr[None], (n,) + arr.shape)
         if arr.ndim >= 1 and arr.shape[0] == n:
             spec.append(("b", len(batched), arr.shape[1:]))
             batched.append(_to_tiles(arr, lane))
         else:
             spec.append(("r", len(batched), arr.shape))
-            wide = jnp.broadcast_to(arr[..., None, None],
-                                    arr.shape + (n // lane, lane))
-            batched.append(wide)
+            batched.append(arr.reshape(1))
     return batched, (treedef, spec)
 
 
-def _rebuild(template, blocks, drop_replicated):
+def _rebuild(template, blocks):
     """Kernel-side inverse of _split_batched.  Batched leaves pass
-    through in tile layout for double-vmap consumption.  Replicated
-    leaves either keep their broadcast tile axes
-    (drop_replicated=False) or slice tile (0, 0) back to the original
-    shape (drop_replicated=True, for trees whose vmap axes mark them
-    None)."""
+    through in tile layout for double-vmap consumption; replicated
+    (SMEM) leaves are reshaped back — a () scalar is read as value[0]
+    so downstream arithmetic is scalar, not vector."""
     treedef, spec = template
     leaves = []
     for kind, idx, shape in spec:
         v = blocks[idx]
-        if kind == "r" and drop_replicated:
-            v = v[..., 0, 0].reshape(shape)
+        if kind == "r":
+            assert shape == (), ("non-scalar replicated leaves are "
+                                 "not supported in the kernel")
         leaves.append(v)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _remap_axes(axes, to):
+    """Replace every batched (-1) marker in an axes tree with ``to``,
+    preserving None and the PreGathered wrappers."""
+    return jax.tree_util.tree_map(
+        lambda a: to if a == -1 else a, axes,
+        is_leaf=lambda a: a is None or isinstance(a, int))
+
+
 def _dvmap(f, in_axes, out_axes):
-    """Double vmap over the two trailing point axes (sublane-rows,
-    lanes).  The same in_axes tree (-1 for batched leaves, None for
-    replicated) applies at both levels: the outer strips the lane
-    axis, the inner the sublane-row axis, so the column function sees
-    true scalars — identical semantics to the XLA path's single vmap."""
+    """Double vmap over the two trailing point axes: outer maps the
+    sublane-row axis (-2), inner the lane axis (-1), so the batch dims
+    accumulate in tile order (bs, lane) and the boundary moveaxis is
+    the identity — vmap boundary transposes do not lower on Mosaic.
+    The column function still sees true scalars, identical semantics
+    to the XLA path's single vmap."""
     inner = jax.vmap(f, in_axes=in_axes, out_axes=out_axes)
-    return jax.vmap(inner, in_axes=in_axes, out_axes=out_axes)
+    return jax.vmap(inner, in_axes=_remap_axes(in_axes, -2),
+                    out_axes=_remap_axes(out_axes, -2))
 
 
 def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
@@ -129,12 +143,31 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
     st_b, st_t = _split_batched(static, n, lane)
     n_gp, n_st = len(gp_b), len(st_b)
 
-    # vmap axes: every tiled leaf batches on -1 (PreGathered wrappers
-    # carry the axis for the param sub-pytrees); replicated leaves map
-    # None and are un-broadcast by _rebuild
-    axes_params = jax.tree_util.tree_map(
-        lambda x: PreGathered(-1) if isinstance(x, PreGathered) else None,
-        gathered, is_leaf=lambda x: isinstance(x, PreGathered))
+    def _kinds_of(template, arrays):
+        ks = [None] * len(arrays)
+        for kind, idx, _shape in template[1]:
+            ks[idx] = kind
+        return ks
+
+    gp_st_kinds = _kinds_of(gp_t, gp_b) + _kinds_of(st_t, st_b)
+
+    class _BKinds:
+        """kinds for the full in_arrays list: gp/st prefix is known at
+        build time; every forcing/state leaf is tiled ("b")."""
+        def __getitem__(self, i):
+            return gp_st_kinds[i] if i < len(gp_st_kinds) else "b"
+
+        def __iter__(self):
+            for i in range(len(in_arrays)):
+                yield self[i]
+
+    build_kinds = _BKinds()
+
+    # vmap axes from the split spec: every tiled leaf batches on -1
+    # (unflattening through the treedef rebuilds the PreGathered
+    # wrappers around the axis), SMEM scalars map None
+    axes_params = jax.tree_util.tree_unflatten(
+        gp_t[0], [-1 if k == "b" else None for k, _i, _s in gp_t[1]])
     st_axes = jax.tree_util.tree_unflatten(
         st_t[0], [-1 if k == "b" else None for k, _i, _s in st_t[1]])
 
@@ -143,12 +176,14 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
                            jnp.asarray(dt, jnp.float32))
 
     def kernel(*refs):
-        # unpack refs: gathered params | static | forcing | state
-        vals = [r[:] for r in refs[:len(in_arrays)]]
+        # unpack refs: gathered params | static | forcing | state.
+        # SMEM refs ("r") allow only scalar loads: read element 0 (all
+        # replicated leaves are scalars; _split_batched flattens them).
+        vals = [r[:] if k == "b" else r[0]
+                for r, k in zip(refs[:len(in_arrays)], build_kinds)]
         outs = refs[len(in_arrays):]
-        gp = _rebuild(gp_t, vals[:n_gp], drop_replicated=True)
-        stt = _rebuild(st_t, vals[n_gp:n_gp + n_st],
-                       drop_replicated=True)
+        gp = _rebuild(gp_t, vals[:n_gp])
+        stt = _rebuild(st_t, vals[n_gp:n_gp + n_st])
         k = n_gp + n_st
         fc = jax.tree_util.tree_unflatten(fo_tdef, vals[k:k + n_fo])
         sv = jax.tree_util.tree_unflatten(stv_tdef, vals[k + n_fo:])
@@ -175,6 +210,12 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
             ix = (lambda i, _n=nlead: (0,) * _n + (i, 0))
             return pl.BlockSpec(bshape, ix, memory_space=pltpu.VMEM)
 
+        def sspec(shape):
+            ix = (lambda i, _n=len(shape): (0,) * _n)
+            return pl.BlockSpec(shape, ix, memory_space=pltpu.SMEM)
+
+        in_kinds = list(build_kinds)
+
         out_shapes = ([jax.ShapeDtypeStruct(x.shape, x.dtype)
                        for x in stv_leaves]
                       + [jax.ShapeDtypeStruct((n // lane, lane),
@@ -182,14 +223,24 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
                          for _ in Flux._fields])
         out_specs = [bspec(s.shape) for s in out_shapes]
 
+        import os
         with transcend.mosaic_safe():
             outs = pl.pallas_call(
                 kernel,
                 grid=(n // block,),
-                in_specs=[bspec(a.shape) for a in in_arrays],
+                in_specs=[bspec(a.shape) if k == "b" else
+                          sspec(a.shape)
+                          for a, k in zip(in_arrays, in_kinds)],
                 out_specs=out_specs,
                 out_shape=out_shapes,
                 interpret=interpret,
+                debug=bool(os.environ.get("NOAHMP_PALLAS_DEBUG")),
+                compiler_params=None if interpret else
+                pltpu.CompilerParams(
+                    # the column step's unrolled layer ops need more
+                    # scoped VMEM stack than the 16 MiB default;
+                    # v5e has 128 MiB VMEM per core
+                    vmem_limit_bytes=100 * 1024 * 1024),
             )(*in_arrays)
 
         n_state = len(stv_leaves)
