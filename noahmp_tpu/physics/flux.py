@@ -85,6 +85,18 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     dtype = jnp.result_type(tv0)
     one = jnp.ones((), dtype)
 
+    # Mosaic-lowering bisection aid: NOAHMP_VEGE_TRUNC=<n> truncates
+    # the function after stage n, returning shape-correct zeros for
+    # the rest (debug only; no effect when unset).
+    import os as _os
+    _trunc = int(_os.environ.get("NOAHMP_VEGE_TRUNC", "0"))
+
+    def _early(tv_val):
+        z0 = jnp.zeros((), dtype)
+        return VegeFluxOut(**{
+            f: (tv_val if f == "tv" else z0)
+            for f in VegeFluxOut._fields})
+
     vaie = jnp.minimum(6.0, vai / fveg)
     laisune = jnp.minimum(6.0, laisun / fveg)
     laishae = jnp.minimum(6.0, laisha / fveg)
@@ -254,6 +266,8 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     # iteration 1 unrolled (computes stomatal resistance once)
     c, (rssun, rssha, psnsun, psnsha) = iteration(
         init, jnp.ones((), bool), jnp.zeros((), bool), None, None)
+    if _trunc == 1:
+        return _early(c.tv)
 
     def body(i, c):
         it_ge5 = (i + 2) >= 5  # Fortran iter index is i+2
@@ -262,6 +276,8 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
 
     c = lax.fori_loop(0, NITERC - 1, body, c,
                       unroll=tuning.hot_loop_unroll())
+    if _trunc == 2:
+        return _early(c.tv)
 
     # under-canopy ground energy balance (func:2879-2914)
     air_g = -emg * (1.0 - emv) * lwdn - emg * emv * SB * c.tv ** 4
@@ -289,6 +305,8 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     tg, irg, shg, evg, gh, estg = lax.fori_loop(
         0, NITERG, gbody, (tg0, z, z, z, z, estg),
         unroll=tuning.hot_loop_unroll())
+    if _trunc == 3:
+        return _early(c.tv)
 
     # snow-surface temperature cap (func:2920-2928)
     if opts.stc == 1:

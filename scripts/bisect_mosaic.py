@@ -107,8 +107,15 @@ def install_stubs(stubs):
 
     from noahmp_tpu.physics import thermo as TH
 
+    from noahmp_tpu.physics import sfc as SFC
+
     targets = {
         "thermo": (TH, "thermoprop"),
+        "stomata": (SFC, "stomata"),
+        "canres": (SFC, "canres"),
+        "ragrb": (SFC, "ragrb"),
+        "sfcdif1": (SFC, "sfcdif1"),
+        "sfcdif2": (SFC, "sfcdif2"),
         "rad": (RA, "radiation"),
         "vege": (FL, "vege_flux"),
         "bare": (FL, "bare_flux"),

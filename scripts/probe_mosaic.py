@@ -193,3 +193,80 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _register_vege_probes():
+    import jax
+    from jax import lax
+
+    @pattern
+    def p11_two_phase_loop(run):
+        def col(s, v):
+            def iteration(c, first, rs):
+                x, m = c
+                if rs is None:
+                    rs = jnp.exp(-x)  # "stomata once"
+                x2 = x + 0.1 * rs * jnp.sum(v) - 0.05 * x
+                return (x2, m), rs
+            c, rs = iteration((s, s * 0.0), True, None)
+
+            def body(i, c):
+                c2, _ = iteration(c, False, rs)
+                return c2
+            x, m = lax.fori_loop(0, 4, body, c)
+            return x
+        run("p11_two_phase_loop", col, 0)
+
+    @pattern
+    def p12_freeze_merge(run):
+        def col(s, v):
+            def iteration(c):
+                x, done = c
+                x2 = x + 0.1 * jnp.sum(v) * jnp.exp(-x)
+                done_b = done != 0
+                new = (x2, transcend.carry_mask(
+                    done_b | (jnp.abs(x2 - x) < 1e-4)))
+                return jax.tree.map(
+                    lambda old, upd: jnp.where(done_b, old, upd),
+                    c, new)
+
+            def body(i, c):
+                return iteration(c)
+            x, _ = lax.fori_loop(
+                0, 5, body, (s, transcend.carry_mask(s > 1e9)))
+            return x
+        run("p12_freeze_merge", col, 0)
+
+    @pattern
+    def p13_loop_index_mask(run):
+        def col(s, v):
+            def body(i, c):
+                x, lit = c
+                it_ge5 = (i + 2) >= 5   # uniform (unbatched) bool
+                lit_b = lit != 0
+                dx = 0.1 * jnp.sum(v) * jnp.exp(-x)
+                lit2 = lit_b | (it_ge5 & (jnp.abs(dx) <= 0.01)
+                                & ~lit_b)
+                x2 = jnp.where(lit_b, x, x + dx)
+                return x2, transcend.carry_mask(lit2)
+            x, _ = lax.fori_loop(
+                0, 8, body, (s, transcend.carry_mask(s > 1e9)))
+            return x
+        run("p13_loop_index_mask", col, 0)
+
+    @pattern
+    def p14_diag_log(run):
+        def col(s, v):
+            fv, fh2 = s * 0.1, s * 0.01
+            cah2 = fv * 0.4 / (jnp.log((2.0 + 0.1) / 0.1) - fh2)
+            small = cah2 < 1.0e-5
+            return jnp.where(small, s,
+                             s - jnp.sum(v) / jnp.maximum(cah2, 1e-6))
+        run("p14_diag_log", col, 0)
+
+
+_register_vege_probes()
+
+
+if __name__ == "__main__":
+    main()  # re-run with the late-registered probes included
