@@ -84,6 +84,10 @@ def time_step(params, opts, static, forcing, state, nsteps=10,
         steps_per_call = 1
 
     jitted = jax.jit(fn, donate_argnums=(3,))
+    # one upfront transfer: passing host numpy (broadcast views) would
+    # re-upload static+forcing on every call and bound the measurement
+    # by relay upload bandwidth instead of device throughput
+    params, static, forcing = jax.device_put((params, static, forcing))
     step = lambda s: jitted(params, static, forcing, s)  # noqa: E731
 
     def sync(st):

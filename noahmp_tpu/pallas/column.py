@@ -224,7 +224,8 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
         out_specs = [bspec(s.shape) for s in out_shapes]
 
         import os
-        with transcend.mosaic_safe():
+        from .. import tuning
+        with transcend.mosaic_safe(), tuning.unroll_override(True):
             outs = pl.pallas_call(
                 kernel,
                 grid=(n // block,),

@@ -14,10 +14,30 @@ you amortize one compile over long runs.
 
 HOT_LOOP_UNROLL = False
 
+import contextlib as _contextlib  # noqa: E402
+import threading as _threading   # noqa: E402
+
+_TLS = _threading.local()
+
 
 def hot_loop_unroll():
-    """bool or int unroll factor, passed straight to lax.fori_loop."""
-    return HOT_LOOP_UNROLL
+    """bool or int unroll factor, passed straight to lax.fori_loop.
+    A thread-local override (``unroll_override``) takes precedence —
+    the fused Pallas kernel traces with full unrolling (Mosaic cannot
+    lay out some physics loop carries, and straight-line code is the
+    VMEM-optimal form anyway)."""
+    ov = getattr(_TLS, "unroll", None)
+    return HOT_LOOP_UNROLL if ov is None else ov
+
+
+@_contextlib.contextmanager
+def unroll_override(v):
+    prev = getattr(_TLS, "unroll", None)
+    _TLS.unroll = v
+    try:
+        yield
+    finally:
+        _TLS.unroll = prev
 
 
 # Use the fused Pallas column kernel (pallas/column.py) instead of the
