@@ -103,6 +103,27 @@ def make_sharded_step(params, opts, dt, mesh: Mesh, donate=True,
     return step
 
 
+def process_slice(mesh: Mesh, n: int):
+    """Global row range [lo, hi) of the land-point axis owned by THIS
+    process under ``batch_sharding(mesh)`` (1-D mesh in device order,
+    equal blocks).  Used by the sharded OutputWriter so each host
+    writes only its addressable slice."""
+    devs = list(mesh.devices.flat)
+    ndev = len(devs)
+    if n % ndev:
+        raise ValueError(f"n={n} not divisible by {ndev} devices")
+    per = n // ndev
+    pid = jax.process_index()
+    mine = [i for i, d in enumerate(devs) if d.process_index == pid]
+    if not mine:
+        return 0, 0
+    if mine != list(range(mine[0], mine[-1] + 1)):
+        raise ValueError(
+            "this process's devices are not contiguous in the mesh; "
+            "order the mesh by process so output slices are contiguous")
+    return mine[0] * per, (mine[-1] + 1) * per
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
     """Multi-host init (no-op on a single host).  Mirrors

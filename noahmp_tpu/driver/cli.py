@@ -37,16 +37,27 @@ def main(argv=None):
     parser.add_argument("--points", type=int, default=None,
                         help="number of land points when no domain file "
                         "is present")
-    parser.add_argument("--check-budgets", type=int, default=0,
-                        metavar="N",
+    def _budgets(v):
+        return v if v == "strict" else int(v)
+    parser.add_argument("--check-budgets", type=_budgets, default=0,
+                        metavar="N|strict",
                         help="assert energy/water conservation every N "
-                        "steps (0 = off)")
+                        "steps (0 = off); 'strict' reproduces the "
+                        "reference's fatal per-step 0.01 W/m2 abort "
+                        "(func:688-721), checked device-side every step")
     parser.add_argument("--no-compile-cache", action="store_true",
                         help="disable the persistent XLA compile cache")
     parser.add_argument("--dispatch", choices=("auto", "chunk", "step"),
                         default="auto",
                         help="chunk: one scanned device call per "
                         "output window (default); step: per-step loop")
+    parser.add_argument("--chunk-steps", type=int, default=0,
+                        metavar="T",
+                        help="cap the scanned chunk length at T steps "
+                        "(0 = no cap); T=1 keeps the async pipeline "
+                        "but dispatches per step — use when scan "
+                        "compiles are pathologically slow (remote "
+                        "compilers at large n)")
     args = parser.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -54,7 +65,7 @@ def main(argv=None):
     cfg = Config.from_namelist(args.nmlfile)
     run_offline(cfg, n_points=args.points,
                 check_budgets_every=args.check_budgets,
-                dispatch=args.dispatch)
+                dispatch=args.dispatch, chunk_steps=args.chunk_steps)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ def save_arrays(path: str, arrays: Dict[str, np.ndarray],
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if path.endswith(".nc4") or format in ("nc4", "hdf5", "netcdf4"):
         return netcdf.write_hdf5(path, arrays)
-    if path.endswith(".nc"):
+    if path.endswith(".nc") or format in ("nc", "classic"):
         return netcdf.write_classic(path, arrays)
     np.savez_compressed(path, **arrays)
     return path
@@ -143,6 +143,19 @@ def load_init(path: str, n: int) -> State:
         updates["smc"] = updates["swc"]
     elif "smc" in updates and "swc" not in updates:
         updates["swc"] = updates["smc"]
+        # swc=smc forces zero initial soil ice; with sub-freezing soil
+        # temperatures the user likely intended frozen soil (SH2O is an
+        # independent input in the reference) — warn rather than guess
+        stc = np.asarray(updates.get("stc", st.stc))
+        from ..constants import TFRZ
+        if (stc[..., -NSOIL:] < TFRZ).any():
+            import warnings
+            warnings.warn(
+                f"init {path}: only smc supplied; assuming swc=smc "
+                "(zero soil ice) despite sub-freezing initial soil "
+                "temperatures. Supply swc explicitly (or compute "
+                "supercooled liquid via physics.soiltemp.frh2o) for a "
+                "frozen cold start.", stacklevel=2)
     if "swc" in updates and (updates["swc"]
                              > updates["smc"] + 1e-6).any():
         raise ValueError(f"init {path}: swc (liquid) exceeds smc "
@@ -175,6 +188,94 @@ def load_restart(path: str):
         raise ValueError(f"restart {path}: snow layer count out of "
                          "range [0,3]")
     return state, when
+
+
+class AsyncSink:
+    """Ordered background executor for output-side I/O (window writes,
+    restart saves).  Device->host fetches and file writes run on the
+    worker thread so they overlap the model's device steps — the main
+    loop never blocks on the (slow, possibly relayed) download path.
+    Exceptions propagate: the next submit()/close() re-raises."""
+
+    def __init__(self, name="noahmp-io"):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=8)
+        self._err = None
+        self._t = threading.Thread(target=self._run, name=name,
+                                   daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            fn, args, kwargs = job
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, fn, *args, **kwargs):
+        self._check()
+        self._q.put((fn, args, kwargs))
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        self._check()
+
+
+class ChunkPrefetcher:
+    """Builds the next chunks' stacked forcing on a background thread
+    and ships them to the device while the current chunk computes.
+
+    ``schedule``: iterable of (when, steps); for each entry the thread
+    assembles the (steps, n) stacked Forcing pytree (host-side provider
+    calls + np.stack) and ``jax.device_put``s it with ``sharding`` (or
+    to the default device).  A bounded queue (depth 2) caps host+device
+    memory at two chunks in flight."""
+
+    def __init__(self, provider, schedule, timestep, sharding=None,
+                 depth=2):
+        import queue
+        import threading
+        import jax
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def work():
+            try:
+                for when, steps in schedule:
+                    fo = [provider(when + i * timestep)
+                          for i in range(steps)]
+                    stacked = jax.tree.map(
+                        lambda *xs: np.stack(
+                            [np.asarray(x) for x in xs]), *fo)
+                    if sharding is not None:
+                        stacked = jax.device_put(stacked, sharding)
+                    else:
+                        stacked = jax.device_put(stacked)
+                    self._q.put(stacked)
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+                self._q.put(None)
+
+        self._t = threading.Thread(target=work, name="noahmp-forcing",
+                                   daemon=True)
+        self._t.start()
+
+    def get(self):
+        out = self._q.get()
+        if out is None and self._err is not None:
+            raise self._err
+        return out
 
 
 class ForcingProvider:
@@ -362,12 +463,20 @@ class OutputWriter:
                  fields=("fsa", "fsr", "fira", "fsh", "fcev", "fgev",
                          "fctr", "ssoil", "trad", "ecan", "etran",
                          "edir", "runsrf", "runsub", "fsno", "albedo",
-                         "gpp", "nee"), fmt: str = "nc"):
+                         "gpp", "nee"), fmt: str = "nc",
+                 shard: Optional[tuple] = None):
+        """``shard=(lo, hi, npoints)``: multi-host mode — this process
+        owns global land points [lo, hi) of ``npoints`` and writes
+        per-window SHARD files ``<stamp>.<fmt>.pLO-HI`` containing only
+        its slice (fetching only addressable data; a global gather
+        would deadlock or OOM at CONUS scale).  ``merge_shard_files``
+        reassembles the gridded file offline."""
         from .config import as_cadence
         self.outdir = outdir
         self.outfreq = as_cadence(outfreq)
         self.fields = fields
         self.fmt = fmt
+        self.shard = shard
         self._acc: Optional[Dict[str, np.ndarray]] = None
         self._count = 0
         self._files = []
@@ -400,6 +509,8 @@ class OutputWriter:
         return self._write(when, means, state)
 
     def _write(self, when, means, state: State):
+        if self.shard is not None:
+            return self._write_shard(when, means, state)
         arrays = {f: np.asarray(v, np.float32)
                   for f, v in means.items()}
         # instantaneous prognostics snapshot
@@ -409,3 +520,91 @@ class OutputWriter:
             self.outdir, when.strftime("%Y%m%d%H%M") + "." + self.fmt)
         self._files.append(save_arrays(path, arrays))
         return self._files
+
+    def _write_shard(self, when, means, state: State):
+        lo, hi, npoints = self.shard
+        arrays = {f: _local_block(v, lo, hi).astype(np.float32)
+                  for f, v in means.items()}
+        for name in self.SNAPSHOT:
+            arrays[name] = _local_block(getattr(state, name), lo, hi)
+        arrays["_shard_lo"] = np.asarray(lo, np.int64)
+        arrays["_shard_hi"] = np.asarray(hi, np.int64)
+        arrays["_npoints"] = np.asarray(npoints, np.int64)
+        path = os.path.join(
+            self.outdir, when.strftime("%Y%m%d%H%M") + "." + self.fmt
+            + f".p{lo:09d}-{hi:09d}")
+        self._files.append(save_arrays(path, arrays, format=self.fmt))
+        return self._files
+
+
+def _local_block(arr, lo, hi):
+    """Rows [lo, hi) of a (possibly multi-host-sharded) batch-major
+    array, fetched from addressable shards only.  Works for host numpy
+    arrays, fully-addressable jax.Arrays, and multi-host global arrays
+    whose addressable shards cover [lo, hi) (the 1-D points mesh puts
+    each process's rows contiguously)."""
+    if isinstance(arr, np.ndarray):
+        return np.asarray(arr[lo:hi])
+    shards = getattr(arr, "addressable_shards", None)
+    if shards is None:
+        return np.asarray(arr)[lo:hi]
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)[lo:hi]
+    out = np.empty((hi - lo,) + tuple(arr.shape[1:]), arr.dtype)
+    filled = 0
+    for sh in shards:
+        idx = sh.index[0] if sh.index else slice(None)
+        s0 = idx.start or 0
+        s1 = idx.stop if idx.stop is not None else arr.shape[0]
+        a, b = max(s0, lo), min(s1, hi)
+        if a < b:
+            out[a - lo:b - lo] = np.asarray(sh.data)[a - s0:b - s0]
+            filled += b - a
+    if filled != hi - lo:
+        raise ValueError(
+            f"addressable shards cover only {filled} of rows "
+            f"[{lo},{hi}) — shard bounds must match the process's "
+            f"mesh slice")
+    return out
+
+
+def merge_shard_files(outdir: str, delete_shards: bool = False):
+    """Reassemble sharded ldasout windows (``<stamp>.nc.pLO-HI`` files
+    from per-host OutputWriters) into gridded ``<stamp>.nc`` files.
+    Deterministic (shards sorted by lo; classic-NetCDF writer is
+    byte-stable), so re-merging reproduces identical bytes.  Returns
+    the list of merged file paths."""
+    import re
+    from collections import defaultdict
+    groups = defaultdict(list)
+    pat = re.compile(r"^(?P<stem>.+)\.p(?P<lo>\d{9})-(?P<hi>\d{9})$")
+    for name in sorted(os.listdir(outdir)):
+        m = pat.match(name)
+        if m:
+            groups[m.group("stem")].append(
+                (int(m.group("lo")), int(m.group("hi")),
+                 os.path.join(outdir, name)))
+    merged = []
+    for stem, parts in sorted(groups.items()):
+        parts.sort()
+        full: Dict[str, np.ndarray] = {}
+        npoints = None
+        covered = 0
+        for lo, hi, path in parts:
+            d = load_arrays(path)
+            npoints = int(np.asarray(d.pop("_npoints")))
+            d.pop("_shard_lo"), d.pop("_shard_hi")
+            for k, v in d.items():
+                if k not in full:
+                    full[k] = np.zeros((npoints,) + np.shape(v)[1:],
+                                       np.asarray(v).dtype)
+                full[k][lo:hi] = v
+            covered += hi - lo
+        if npoints is None or covered != npoints:
+            raise ValueError(
+                f"{stem}: shards cover {covered} of {npoints} points")
+        merged.append(save_arrays(os.path.join(outdir, stem), full))
+        if delete_shards:
+            for _lo, _hi, path in parts:
+                os.remove(path)
+    return merged

@@ -85,8 +85,11 @@ def simulate(params, opts, dt, static, forcings, state0,
     return final_state, fluxes
 
 
+STRICT_SENTINEL = 2 ** 30  # "no step violated yet"
+
+
 def make_chunk_step(params, opts, dt, acc_spec=(), donate=True,
-                    mesh=None):
+                    mesh=None, strict_budgets=False):
     """Multi-step dispatch for the offline driver: one jitted
     ``lax.scan`` advances a whole chunk of timesteps, accumulating
     flux statistics on device in the scan carry.
@@ -109,20 +112,54 @@ def make_chunk_step(params, opts, dt, acc_spec=(), donate=True,
 
     ``mesh``: shard the land-point axis (the stacked forcing leaves
     shard their second axis); params replicated, as in dist.mesh.
+
+    ``strict_budgets``: reproduce the reference's per-step fatal abort
+    semantics (func:688-721: |ERRSW| > 0.01 or |ERRENG| > 0.01 W/m2
+    kills the run at that step) inside the device-side scan.  The chunk
+    then returns (state, acc, bad_step): ``bad_step`` is the 0-based
+    chunk-local index of the FIRST violating step (STRICT_SENTINEL if
+    none); the state stops advancing after it — exactly the state the
+    aborting reference would leave — and the caller raises.
     """
-    def _chunk(params, static, forcings, state, acc):
-        def body(carry, forcing):
-            st, acc = carry
+    # strict mode reproduces the reference's exact abort bounds
+    # (0.01 W/m2 for BOTH budgets, func:691,715) — not the f32-widened
+    # ENG_TOL used by the advisory host-side check
+    STRICT_TOL = 0.01
+
+    def _chunk(params, static, forcings, state, acc,
+               bad_step=None):
+        def body(carry, xs):
+            if strict_budgets:
+                st, acc, bad = carry
+                forcing, i = xs
+                frozen = i > bad  # a previous step already aborted
+            else:
+                st, acc = carry
+                forcing = xs
             col = lambda p, s, f, x: column_step(  # noqa: E731
                 p, opts, s, f, x, jnp.asarray(dt, jnp.float32))
             new_st, flux = jax.vmap(col, in_axes=(None, 0, 0, 0))(
                 params, static, forcing, st)
-            acc = tuple(
+            new_acc = tuple(
                 a + getattr(flux, f) if op == "sum"
                 else jnp.maximum(a, jnp.abs(getattr(flux, f)))
                 for a, (f, op) in zip(acc, acc_spec))
-            return (new_st, acc), None
+            if not strict_budgets:
+                return (new_st, new_acc), None
+            violated = jnp.any((jnp.abs(flux.errsw) > STRICT_TOL)
+                               | (jnp.abs(flux.erreng) > STRICT_TOL))
+            bad = jnp.minimum(
+                bad, jnp.where(violated & ~frozen, i, STRICT_SENTINEL))
+            keep = lambda old, new: jax.tree.map(  # noqa: E731
+                lambda o, x: jnp.where(frozen, o, x), old, new)
+            return (keep(st, new_st), keep(acc, new_acc), bad), None
 
+        if strict_budgets:
+            T = jax.tree.leaves(forcings)[0].shape[0]
+            idx = jnp.arange(T, dtype=jnp.int32)
+            (state, acc, bad_step), _ = jax.lax.scan(
+                body, (state, acc, bad_step), (forcings, idx))
+            return state, acc, bad_step
         (state, acc), _ = jax.lax.scan(body, (state, acc), forcings)
         return state, acc
 
@@ -132,16 +169,24 @@ def make_chunk_step(params, opts, dt, acc_spec=(), donate=True,
         sh_b = batch_sharding(mesh)
         sh_r = replicated(mesh)
         sh_t = NamedSharding(mesh, P(None, POINTS_AXIS))
+        shardings = (sh_r, sh_b, sh_t, sh_b, sh_b)
+        if strict_budgets:
+            shardings = shardings + (sh_r,)
         jitted = jax.jit(
             _chunk,
-            in_shardings=(sh_r, sh_b, sh_t, sh_b, sh_b),
+            in_shardings=shardings,
             donate_argnums=(3, 4) if donate else ())
     else:
         jitted = jax.jit(_chunk,
                          donate_argnums=(3, 4) if donate else ())
 
-    def chunk(static, forcings, state, acc):
-        return jitted(params, static, forcings, state, acc)
+    if strict_budgets:
+        def chunk(static, forcings, state, acc):
+            return jitted(params, static, forcings, state, acc,
+                          jnp.asarray(STRICT_SENTINEL, jnp.int32))
+    else:
+        def chunk(static, forcings, state, acc):
+            return jitted(params, static, forcings, state, acc)
 
     chunk.jitted = jitted
     chunk.acc_spec = tuple(acc_spec)

@@ -47,16 +47,36 @@ def mosaic_safe():
     Install/uninstall is refcounted under a lock so nested or
     concurrent ``mosaic_safe`` contexts compose.
     """
-    import jax
-
+    _check_jax_version()
     prev = getattr(_STATE, "mosaic", False)
-    _STATE.mosaic = True
-    _install_bool_broadcast_patch()
+    installed = False
     try:
+        _STATE.mosaic = True
+        _install_bool_broadcast_patch()
+        installed = True
         yield
     finally:
-        _uninstall_bool_broadcast_patch()
+        if installed:
+            _uninstall_bool_broadcast_patch()
         _STATE.mosaic = prev
+
+
+# The patches below reach into jax._src internals
+# (fancy_primitive_batchers, Primitive.bind).  They are verified on
+# this exact minor version; an untested upgrade must fail loudly here
+# rather than silently mis-trace the fused kernel.
+_SUPPORTED_JAX = ("0.9.",)
+
+
+def _check_jax_version():
+    import jax
+
+    if not any(jax.__version__.startswith(p) for p in _SUPPORTED_JAX):
+        raise RuntimeError(
+            f"transcend.mosaic_safe patches jax internals and is only "
+            f"validated on jax {_SUPPORTED_JAX}; found {jax.__version__}. "
+            f"Re-run tests/test_mosaic_rules.py on the new version and "
+            f"extend _SUPPORTED_JAX.")
 
 
 _PATCH_LOCK = threading.Lock()
@@ -197,8 +217,17 @@ def _install_bool_broadcast_patch():
         _PATCH_REFS += 1
         if _PATCH_REFS > 1:
             return
-        _install_concat_batcher()
-        _install_transpose_patch()
+        # atomic install: roll back any sub-patch that made it in if a
+        # later one raises, so a failure can't leave globally-patched
+        # primitives behind with the refcount claiming otherwise
+        try:
+            _install_concat_batcher()
+            _install_transpose_patch()
+        except BaseException:
+            _uninstall_transpose_patch()
+            _uninstall_concat_batcher()
+            _PATCH_REFS -= 1
+            raise
         prim = lax.broadcast_in_dim_p
         _ORIG_BIND = orig_bind = prim.bind
 

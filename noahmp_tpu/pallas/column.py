@@ -134,6 +134,13 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
     n = static.lat.shape[0]
     assert n % block == 0, f"n={n} must be a multiple of block={block}"
     lane = _lane_of(n, block)
+    # the (1, block) fallback tiles are only valid in interpret mode;
+    # on the Mosaic path they produce an obscure lowering failure, so
+    # reject them up front with an actionable message
+    assert interpret or lane == LANE, (
+        f"Mosaic path requires block ({block}) and n ({n}) to be "
+        f"multiples of {LANE}; got lane={lane}. Use interpret=True for "
+        f"small test shapes.")
     bs = block // lane
 
     gathered = gather_params(params, static.lutyp, static.sltyp,
@@ -225,6 +232,7 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
 
         import os
         from .. import tuning
+        _dbg = os.environ.get("NOAHMP_PALLAS_DEBUG", "")
         with transcend.mosaic_safe(), tuning.unroll_override(True):
             outs = pl.pallas_call(
                 kernel,
@@ -235,13 +243,17 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
                 out_specs=out_specs,
                 out_shape=out_shapes,
                 interpret=interpret,
-                debug=bool(os.environ.get("NOAHMP_PALLAS_DEBUG")),
+                debug=_dbg.lower() not in ("", "0", "false"),
                 compiler_params=None if interpret else
                 pltpu.CompilerParams(
                     # the column step's unrolled layer ops need more
-                    # scoped VMEM stack than the 16 MiB default;
-                    # v5e has 128 MiB VMEM per core
-                    vmem_limit_bytes=100 * 1024 * 1024),
+                    # scoped VMEM stack than the 16 MiB default; v5e
+                    # has 128 MiB VMEM per core, and the fully-unrolled
+                    # straight-line body at bs=8 measures ~114 MiB of
+                    # scoped stack — the limit and the block size trade
+                    # off (halving the block halves the stack)
+                    vmem_limit_bytes=int(os.environ.get(
+                        "NOAHMP_PALLAS_VMEM_MB", "120")) * 1024 * 1024),
             )(*in_arrays)
 
         n_state = len(stv_leaves)

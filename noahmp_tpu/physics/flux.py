@@ -90,12 +90,23 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     # the rest (debug only; no effect when unset).
     import os as _os
     _trunc = int(_os.environ.get("NOAHMP_VEGE_TRUNC", "0"))
+    if _trunc:
+        # debug-only: make it impossible to miss a leaked env var — a
+        # truncated vege_flux silently zeroes most outputs, and a stale
+        # jit cache can hide when it was traced
+        import warnings as _warnings
+        _warnings.warn(
+            f"NOAHMP_VEGE_TRUNC={_trunc}: vege_flux is TRUNCATED after "
+            f"stage {_trunc}; outputs are debug garbage", stacklevel=2)
 
-    def _early(tv_val):
+    def _early(**live):
+        """Debug-truncation output: supplied fields pass through (so
+        the ops producing them stay live under DCE), the rest are
+        zeros.  Stages are cumulative — each _trunc level adds one
+        feature's ops to the Mosaic compile."""
         z0 = jnp.zeros((), dtype)
         return VegeFluxOut(**{
-            f: (tv_val if f == "tv" else z0)
-            for f in VegeFluxOut._fields})
+            f: live.get(f, z0) for f in VegeFluxOut._fields})
 
     vaie = jnp.minimum(6.0, vai / fveg)
     laisune = jnp.minimum(6.0, laisun / fveg)
@@ -267,7 +278,7 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     c, (rssun, rssha, psnsun, psnsha) = iteration(
         init, jnp.ones((), bool), jnp.zeros((), bool), None, None)
     if _trunc == 1:
-        return _early(c.tv)
+        return _early(tv=c.tv)
 
     def body(i, c):
         it_ge5 = (i + 2) >= 5  # Fortran iter index is i+2
@@ -276,8 +287,15 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
 
     c = lax.fori_loop(0, NITERC - 1, body, c,
                       unroll=tuning.hot_loop_unroll())
+
+    def _canopy_fields():
+        return dict(tv=c.tv, tah=c.tah, eah=c.eah, qsfc=c.qsfc,
+                    cmv=c.cm, chv=1.0 / c.rahc, irc=c.irc, shc=c.shc,
+                    evc=c.evc, tr=c.tr, chleaf=c.cvh,
+                    chuc=1.0 / c.rahg, rssun=rssun, rssha=rssha)
+
     if _trunc == 2:
-        return _early(c.tv)
+        return _early(**_canopy_fields())
 
     # under-canopy ground energy balance (func:2879-2914)
     air_g = -emg * (1.0 - emv) * lwdn - emg * emv * SB * c.tv ** 4
@@ -306,10 +324,11 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
         0, NITERG, gbody, (tg0, z, z, z, z, estg),
         unroll=tuning.hot_loop_unroll())
     if _trunc == 3:
-        return _early(c.tv)
+        return _early(tgv=tg, irg=irg, shg=shg, evg=evg, ghv=gh,
+                      **_canopy_fields())
 
     # snow-surface temperature cap (func:2920-2928)
-    if opts.stc == 1:
+    if opts.stc == 1 and _trunc != 7:
         cap = (snowh > 0.05) & (tg > TFRZ)
         tg_c = jnp.where(cap, TFRZ, tg)
         irg = jnp.where(cap,
@@ -323,6 +342,10 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     tauxv = -rhoair * c.cm * ur * uu
     tauyv = -rhoair * c.cm * ur * vv
 
+    if _trunc == 4:
+        return _early(tgv=tg, irg=irg, shg=shg, evg=evg, ghv=gh,
+                      tauxv=tauxv, tauyv=tauyv, **_canopy_fields())
+
     # 2-m diagnostics (func:2942-2957)
     z0h = z0m
     cah2 = c.fv * KARMAN / (jnp.log((2.0 + z0h) / z0h) - c.fh2)
@@ -333,6 +356,15 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     q2v = jnp.where(small, c.qsfc,
                     c.qsfc - ((c.evc + c.tr) / fveg + evg)
                     / (latheav * rhoair) / jnp.maximum(cah2, MPE))
+
+    if _trunc == 5:
+        return _early(tgv=tg, irg=irg, shg=shg, evg=evg, ghv=gh,
+                      tauxv=tauxv, tauyv=tauyv, t2mv=t2mv, q2v=q2v,
+                      ch2v=cah2, **_canopy_fields())
+
+    if _trunc == 6:  # full except psn (prunes the stomata psn plumbing)
+        zz = jnp.zeros((), dtype)
+        psnsun, psnsha = zz, zz
 
     return VegeFluxOut(
         tv=c.tv, tgv=tg, tah=c.tah, eah=c.eah, qsfc=c.qsfc, cmv=c.cm,

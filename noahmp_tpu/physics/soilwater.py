@@ -10,10 +10,10 @@ The reference's data-dependent sub-step count (3 or 6) becomes a fixed
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ..constants import NSOIL, MPE
+from ..numerics import dfloat
 from ..numerics.tridiag import thomas
 from ..numerics.select import vsel, cumsum_small
 
@@ -328,19 +328,18 @@ def groundwater(soil, gen, sltyp, dt, zsoil, sice, wcnd, fcrmax, swc,
         * jnp.exp(-6.0 * (zwt - 2.0))
 
     # The reference computes S_NODE in real*8 (its one double-precision
-    # variable, func:6501).  TPUs are f32-only, so instead of promoting
-    # we quantified the f32 error of the s_node -> smpfz -> qin chain
-    # over the full STAS/STAS-RUC parameter range
-    # (tests/test_numerics.py::test_snode_f32_precision): smpfz relative
-    # error <= ~2e-6, worst-case qin error ~1e-5 mm/s -- three orders of
-    # magnitude under the 10/dt clip below.  Under x64 (CPU validation)
-    # the term still promotes to f64 to match the reference exactly.
-    hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    s_node = jnp.clip(vsel(smc, jwt).astype(hi) / smcmax.astype(hi),
-                      0.01, 1.0)
-    smpfz = -soil.psisat[sltyp].astype(hi) * 1000.0 * s_node \
-        ** (-soil.bexp[sltyp].astype(hi))
-    smpfz = jnp.maximum(-120000.0, cmic * smpfz).astype(smc.dtype)
+    # variable, func:6501) and rounds the resulting SMPFZ back to real*4
+    # (func:6562).  TPUs have no f64, so the pow runs in two-float f32
+    # arithmetic (numerics/dfloat.py) — bit-identical to the f64-computed,
+    # f32-rounded reference value on a full-range parameter sweep
+    # (tests/test_numerics.py::test_snode_f32_precision), by default and
+    # on every backend (no x64 gating).
+    ratio = vsel(smc, jwt) / smcmax
+    s_node = jnp.clip(jnp.minimum(ratio, 1.0), 0.01, None)
+    at_clip = ratio <= jnp.float32(0.01)
+    smpfz = dfloat.smpfz_f64_parity(s_node, soil.bexp[sltyp],
+                                    soil.psisat[sltyp], at_clip)
+    smpfz = jnp.maximum(-120000.0, cmic * smpfz)
 
     ka = vsel(hk, jwt)
     znode_jwt = vsel(znode, jwt)

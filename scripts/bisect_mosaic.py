@@ -139,7 +139,8 @@ def main():
     from __graft_entry__ import _build
     from noahmp_tpu.pallas.column import make_pallas_step
 
-    n, block = 1024, 1024
+    block = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else max(block, 1024)
     params, opts, static, forcing, state = _build(n)
     step = make_pallas_step(params, opts, 900.0, static, block=block)
     jstep = jax.jit(step)
@@ -158,6 +159,13 @@ def main():
         print(f"FAIL stubs={sorted(stubs)} ({time.time()-t0:.1f}s)",
               flush=True)
         print("\n".join(tail) if tail else msg[-800:], flush=True)
+        # full error (with MLIR source locations) for offline diagnosis
+        tag = "-".join(sorted(stubs)) or "none"
+        trunc = os.environ.get("NOAHMP_VEGE_TRUNC", "0")
+        path = f"/tmp/mosaic_err_{tag}_t{trunc}.log"
+        with open(path, "w") as fh:
+            fh.write(msg)
+        print(f"full error -> {path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -211,3 +211,38 @@ def test_chen97_fixed_carry(params):
     # but the physics stays in the same regime
     assert np.allclose(np.asarray(state_f.tg), np.asarray(state_q.tg),
                        atol=2.0)
+
+def test_chen97_fh2_pinned_zero(monkeypatch):
+    """opt_sfc=2 2-m diagnostics: the reference reads FH2 UNINITIALIZED
+    under Chen97 (only sfcdif1 assigns it, func:3505; the diagnostics at
+    func:2944/3242 consume it regardless).  The build pins fh2=0 there
+    (PARITY.md deviation #6), making EHB2 exactly
+    USTAR*KARMAN/log((2+Z0H)/Z0H) with no stability-correction term.
+    Pin it by fixing sfcdif2's ustar and checking that identity."""
+    from noahmp_tpu.physics import sfc, flux as flux_mod
+    from noahmp_tpu.constants import KARMAN
+
+    params = load_params("USGS", "STAS", to_device=False)
+    opts = Options(sfc=2)
+    f32 = jnp.float32
+    USTAR = 0.47
+
+    def fixed_sfcdif2(first, carry, z0, thz0, thlm, sfcspd, czil, zlvl):
+        z = jnp.zeros(())
+        return sfc.Sfcdif2Carry(akms=f32(0.02), akhs=f32(0.02),
+                                rlmo=z, wstar2=z, ustar=f32(USTAR))
+
+    monkeypatch.setattr(flux_mod.sfc, "sfcdif2", fixed_sfcdif2)
+
+    z0m = 0.01
+    out = flux_mod.bare_flux(
+        params.veg, params.gen, jnp.int32(7), opts, f32(900.0),
+        f32(100.0), f32(330.0), f32(3.0), f32(3.0), f32(0.0),
+        f32(288.0), f32(289.0), f32(0.007), f32(1000.0), f32(1.2),
+        f32(0.0), f32(285.0), f32(1.0), f32(0.1), f32(10.0), f32(0.0),
+        f32(z0m), f32(0.97), f32(100.0), f32(2.5e6), f32(66.0),
+        f32(0.9), f32(90000.0), f32(90000.0), f32(286.0), f32(0.01),
+        f32(0.01), f32(0.006))
+
+    expect = USTAR * KARMAN / np.log((2.0 + z0m) / z0m)
+    np.testing.assert_allclose(np.asarray(out.ehb2), expect, rtol=1e-6)
