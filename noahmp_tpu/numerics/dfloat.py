@@ -102,24 +102,37 @@ def df_neg(a):
 
 
 def _exp2i(k):
-    """2**k for integer-valued f32 k in [-126, 127], exactly, via the
-    f32 exponent field (one i32 bitcast; Mosaic-lowerable)."""
-    ki = k.astype(jnp.int32)
-    bits = (ki + 127) << 23
-    return lax.bitcast_convert_type(bits, jnp.float32)
+    """2**k for integer-valued f32 k in [-127, 127], exactly, by
+    exponentiation-by-squaring over exact power-of-two factors.  No
+    bitcasts: lax.bitcast_convert_type does not lower under Mosaic
+    ('Invalid vector register cast') and pltpu.bitcast needs rank>=2,
+    but multiplying exact powers of two is exact in any backend."""
+    a = jnp.abs(k)
+    result = jnp.ones_like(k)
+    sq = jnp.full_like(k, 2.0)
+    for i in range(7):                 # 7 bits cover |k| <= 127
+        ki = jnp.floor(a * (1.0 / (1 << i)))
+        bit = ki - 2.0 * jnp.floor(0.5 * ki)
+        result = jnp.where(bit > 0.5, result * sq, result)
+        sq = sq * sq
+    return jnp.where(k < 0, 1.0 / result, result)
 
 
 def _frexp(x):
-    """x = m * 2**e with m in [sqrt(1/2), sqrt(2)).  x must be a
-    positive normal f32."""
-    bits = lax.bitcast_convert_type(x, jnp.int32)
-    e = ((bits >> 23) & 0xFF) - 127
-    m = lax.bitcast_convert_type(
-        (bits & 0x007FFFFF) | 0x3F800000, jnp.float32)  # [1, 2)
+    """x = m * 2**e with m in [sqrt(1/2), sqrt(2)), for x in
+    [2**-10, 2) — the S_NODE domain is [0.01, 1].  Exact
+    doubling/halving ladder instead of exponent-field bitcasts
+    (see _exp2i)."""
+    m = jnp.asarray(x, jnp.float32)
+    e = jnp.zeros_like(m)
+    for _ in range(10):
+        small = m < jnp.float32(1.0 / _SQRT2)
+        m = jnp.where(small, m * 2.0, m)   # exact scaling
+        e = jnp.where(small, e - 1.0, e)
     big = m >= _SQRT2
-    m = jnp.where(big, 0.5 * m, m)     # exact scaling
-    e = jnp.where(big, e + 1, e)
-    return m, e.astype(jnp.float32)
+    m = jnp.where(big, 0.5 * m, m)
+    e = jnp.where(big, e + 1.0, e)
+    return m, e
 
 
 # atanh-series coefficients 1/(2k+1), k = 11..1, as df constants (an

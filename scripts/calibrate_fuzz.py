@@ -16,7 +16,7 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # oracle comparison is CPU work
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -69,7 +69,17 @@ def mkforcing(rng, n):
     )
 
 
-def run_combo(params, name, opts, nsteps, seed):
+def run_combo(params, params_host, name, opts, nsteps, seed,
+              resync=False):
+    """``resync``: single-step mode — the oracle starts every step from
+    the JAX state, so the comparison measures per-step numerical
+    difference only (no chaotic trajectory decoupling across discrete
+    thresholds like snow-layer formation).  Layer counts must then
+    match EXACTLY every step."""
+    return _run(params, params_host, name, opts, nsteps, seed, resync)
+
+
+def _run(params, params_host, name, opts, nsteps, seed, resync):
     n = len(LUTYP)
     rng = np.random.default_rng(seed)
     static = init_static(n)._replace(
@@ -80,20 +90,24 @@ def run_combo(params, name, opts, nsteps, seed):
     step = make_step(params, opts, 900.0, donate=False)
 
     st_j = state
-    st_n = state
+    st_n = state  # host numpy throughout (device fetches per native
+    #               call would dominate the wall clock)
     worst = {f: 0.0 for f in FIELDS}
     worst_nsnow = 0
     for t in range(nsteps):
         f = mkforcing(rng, n)
+        prev_j = st_j
         st_j, _ = step(static, f, st_j)
-        upd = {nm: np.asarray(getattr(st_n, nm)).copy()
+        base = State(**{nm: np.asarray(getattr(prev_j, nm))
+                        for nm in State._fields}) if resync else st_n
+        upd = {nm: np.asarray(getattr(base, nm)).copy()
                for nm in State._fields}
         for i in range(n):
-            sn, _fl = native.step_column(params, opts, static, f, st_n,
-                                         i, 900.0)
+            sn, _fl = native.step_column(params_host, opts, static, f,
+                                         base, i, 900.0)
             for nm in State._fields:
                 upd[nm][i] = sn[nm]
-        st_n = State(**{nm: jnp.asarray(v) for nm, v in upd.items()})
+        st_n = State(**upd)
         for fld in FIELDS:
             d = np.max(np.abs(np.asarray(getattr(st_j, fld), np.float64)
                               - np.asarray(getattr(st_n, fld),
@@ -108,13 +122,16 @@ def run_combo(params, name, opts, nsteps, seed):
 def main():
     nsteps = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    resync = "--resync" in sys.argv
     params = load_params()
-    print(f"nsteps={nsteps} seed={seed} cols lutyp={LUTYP} "
-          f"sltyp={SLTYP}")
+    params_host = load_params(to_device=False)
+    print(f"nsteps={nsteps} seed={seed} resync={resync} "
+          f"cols lutyp={LUTYP} sltyp={SLTYP}")
     overall = {f: 0.0 for f in FIELDS}
     for name, opts in COMBOS:
         t0 = time.time()
-        worst, wn = run_combo(params, name, opts, nsteps, seed)
+        worst, wn = run_combo(params, params_host, name, opts, nsteps,
+                              seed, resync=resync)
         line = " ".join(f"{f}={worst[f]:.3e}" for f in FIELDS)
         print(f"{name:22s} ({time.time()-t0:5.1f}s) nsnow_div={wn} "
               f"{line}", flush=True)

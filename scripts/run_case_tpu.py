@@ -3,11 +3,14 @@
 all veg/soil/color classes, real NetCDF hourly ldasin, 3-hourly
 ldasout, daily restart — run uninterrupted, then again as
 day-1 + restart + resume, and check the two final states agree
-bitwise.  Writes CASE_r03.json at the repo root.
+bitwise.  Writes CASE_r04.json at the repo root.
 
 Usage: python scripts/run_case_tpu.py [n] [days] [--keep] [--step]
-(--step: per-step dispatch — the chunked lax.scan graph can hit
-pathological remote-compile times through the axon relay at large n)
+               [--chunk-steps=T]
+(--step: per-step dispatch; --chunk-steps=T: pipelined chunk dispatch
+with the scan length capped at T — T=1 keeps the async forcing/output
+pipeline while sidestepping the axon relay's pathological scan-compile
+times at large n)
 """
 
 import datetime
@@ -46,6 +49,10 @@ def main():
     days = int(args[1]) if len(args) > 1 else 2
     keep = "--keep" in sys.argv
     dispatch = "step" if "--step" in sys.argv else "chunk"
+    chunk_steps = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--chunk-steps="):
+            chunk_steps = int(a.split("=", 1)[1])
 
     import make_case
     from noahmp_tpu.driver.config import Config
@@ -86,7 +93,8 @@ def main():
     t0 = time.time()
     st_a, files_a = run_offline(cfg, verbose=True,
                                 check_budgets_every=12,
-                                dispatch=dispatch)
+                                dispatch=dispatch,
+                                chunk_steps=chunk_steps)
     a_s = time.time() - t0
     nsteps = cfg.nsteps
     print(f"[run A {a_s:.1f}s: {nsteps} steps x {n}]", flush=True)
@@ -97,7 +105,7 @@ def main():
     cfg.enddatetime = cfg.begdatetime + datetime.timedelta(days=1)
     t0 = time.time()
     run_offline(cfg, verbose=False, check_budgets_every=0,
-                dispatch=dispatch)
+                dispatch=dispatch, chunk_steps=chunk_steps)
     b1_s = time.time() - t0
     res_files = [f for f in os.listdir(cfg.resdir)
                  if f.startswith("restart_")]
@@ -109,7 +117,7 @@ def main():
     cfg.resfile = sorted(res_files)[-1]
     t0 = time.time()
     st_b, _ = run_offline(cfg, verbose=False, check_budgets_every=0,
-                          dispatch=dispatch)
+                          dispatch=dispatch, chunk_steps=chunk_steps)
     b2_s = time.time() - t0
     print(f"[run B {b1_s:.1f}+{b2_s:.1f}s, resumed from "
           f"{cfg.resfile}]", flush=True)
@@ -139,9 +147,10 @@ def main():
         "outputs_finite": finite,
         "budget_asserts": "every 12 steps (errsw/erreng/errwat)",
         "dispatch": dispatch,
+        "chunk_steps_cap": chunk_steps,
     }
     print(json.dumps(out, indent=2), flush=True)
-    with open(os.path.join(_REPO, "CASE_r03.json"), "w") as f:
+    with open(os.path.join(_REPO, "CASE_r04.json"), "w") as f:
         json.dump(out, f, indent=2)
     if not keep:
         shutil.rmtree(base)

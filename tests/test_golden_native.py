@@ -22,6 +22,13 @@ def params():
     return load_params()
 
 
+@pytest.fixture(scope="module")
+def params_host():
+    # host-numpy tables for the native oracle: per-field fetches from
+    # device-resident params cost ~1.5 s per step_column call
+    return load_params(to_device=False)
+
+
 def mkforcing(n, **kw):
     d = dict(sfctmp=295.0, sfcprs=90000.0, psfc=90000.0, uu=3.0, vv=1.0,
              q2=0.008, soldn=600.0, lwdn=350.0, prcp=0.001, cosz=0.7,
@@ -37,6 +44,7 @@ def mkforcing(n, **kw):
 def native_trajectory(params, opts, static, forcing, state, i, dt,
                       nsteps):
     """Run the native column serially, returning per-step state dicts."""
+    params = _host_params(params)
     out = []
     sd = None
     st = state
@@ -56,6 +64,18 @@ def native_trajectory(params, opts, static, forcing, state, i, dt,
         st = State(**upd)
         out.append((sd, fl))
     return out
+
+
+_HOST_PARAMS_CACHE = {}
+
+
+def _host_params(params):
+    """Host-numpy mirror of a (possibly device-resident) params tree."""
+    key = id(params)
+    if key not in _HOST_PARAMS_CACHE:
+        import jax
+        _HOST_PARAMS_CACHE[key] = jax.tree.map(np.asarray, params)
+    return _HOST_PARAMS_CACHE[key]
 
 
 def compare(params, opts, static, forcing, state, dt, nsteps, cols,
@@ -176,8 +196,8 @@ def test_stochastic_regime_fuzz(params):
             q2=float(rng.uniform(0.001, 0.01)),
             uu=float(rng.uniform(0.5, 10.0)))
         st_j, _ = step(static, f, st_j)
-        sn, _fl = native.step_column(params, Options(), static, f, st_n,
-                                     0, 900.0)
+        sn, _fl = native.step_column(_host_params(params), Options(),
+                                     static, f, st_n, 0, 900.0)
         upd = {}
         for name in State._fields:
             ref = np.asarray(getattr(st_n, name)).copy()
