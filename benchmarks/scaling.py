@@ -58,7 +58,7 @@ def build(n, heterogeneous=False, seed=0):
 
 
 def time_step(params, opts, static, forcing, state, nsteps=10,
-              scan_len=None):
+              scan_len=None, layout="major"):
     from noahmp_tpu.physics.sflx import column_step
 
     # params/static/forcing travel as jit ARGUMENTS: device-resident
@@ -68,10 +68,21 @@ def time_step(params, opts, static, forcing, state, nsteps=10,
     def col(p, st, f, s):
         return column_step(p, opts, st, f, s, jnp.float32(900.0))
 
+    # "minor": batch axis trailing, so the small layer arrays tile as
+    # (L, n) without sublane padding (PERF.md lever 2; the 1M-point
+    # droop experiment, VERDICT r3 weak #3)
+    ax = 0 if layout == "major" else -1
+    if layout != "major":
+        from noahmp_tpu.driver.step import batch_to_layout
+        static, forcing, state = (batch_to_layout(static, layout),
+                                  batch_to_layout(forcing, layout),
+                                  batch_to_layout(state, layout))
+
     if scan_len:
         def fn(params, static, forcing, state):
             def body(s, _):
-                s2, _f = jax.vmap(col, in_axes=(None, 0, 0, 0))(
+                s2, _f = jax.vmap(col, in_axes=(None, ax, ax, ax),
+                                  out_axes=ax)(
                     params, static, forcing, s)
                 return s2, None
             s, _ = jax.lax.scan(body, state, None, length=scan_len)
@@ -79,7 +90,8 @@ def time_step(params, opts, static, forcing, state, nsteps=10,
         steps_per_call = scan_len
     else:
         def fn(params, static, forcing, state):
-            return jax.vmap(col, in_axes=(None, 0, 0, 0))(
+            return jax.vmap(col, in_axes=(None, ax, ax, ax),
+                            out_axes=ax)(
                 params, static, forcing, state)[0]
         steps_per_call = 1
 
@@ -117,6 +129,10 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="single-chip batch-size sweep 16k -> 1M "
                     "(the BASELINE scaling table)")
+    ap.add_argument("--layout", choices=("major", "minor"),
+                    default="major",
+                    help="minor: batch axis trailing (layer arrays "
+                    "tile unpadded; 1M-droop experiment)")
     args = ap.parse_args()
     wanted = set(args.configs.split(","))
     results = {}
@@ -125,7 +141,8 @@ def main():
         for n in (16384, 65536, 262144, 1048576):
             if n > args.points_cap:
                 break
-            rate = time_step(*build(n), nsteps=max(5, 2**21 // n * 4))
+            rate = time_step(*build(n), nsteps=max(5, 2**21 // n * 4),
+                             layout=args.layout)
             results[f"n_{n}"] = rate
             print(json.dumps({"n": n,
                               "point_steps_per_sec": round(rate, 1)}),

@@ -169,6 +169,22 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
                    stc) -> SnowWaterOut:
     """Snowpack driver (reference func:5049-5174).  ``dzsnow`` is the
     (MSNOW,) positive snow layer thickness from the previous dzsnso."""
+    # Mosaic-lowering bisection aid (debug only, like vege_flux's):
+    # NOAHMP_SNOWWATER_TRUNC=<n> returns a shape-correct early output
+    # after stage n so the remaining glue can be excluded from a
+    # compile.  No effect when unset.
+    import os as _os
+    _trunc = int(_os.environ.get("NOAHMP_SNOWWATER_TRUNC", "0"))
+
+    def _early(p, qsnbot=None):
+        z = jnp.zeros((), stc.dtype)
+        zl = jnp.zeros(MSNOW + NSOIL, stc.dtype)
+        return SnowWaterOut(p.nsnow, p.snowh, p.sneqv, p.ice, p.liq,
+                            jnp.concatenate([p.stc, stc[MSNOW:]]),
+                            zl, zl, swc, sice,
+                            z if qsnbot is None else qsnbot,
+                            z, p.ponding1, p.ponding2)
+
     dz_soil = -jnp.diff(jnp.concatenate([jnp.zeros(1, zsoil.dtype),
                                          zsoil]))
     p = snow_mod.Pack(
@@ -178,6 +194,8 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
         ponding2=jnp.zeros((), stc.dtype))
 
     p = snow_mod.snowfall(p, dt, qsnow, snowhin, sfctmp)
+    if _trunc == 1:
+        return _early(p)
 
     def gated(fn, p):
         p2 = fn(p)
@@ -187,8 +205,12 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
     p = gated(lambda q: snow_mod.compact(q, dt, imelt_snow, ficeold), p)
     p = gated(snow_mod.combine, p)
     p = gated(snow_mod.divide, p)
+    if _trunc == 2:
+        return _early(p)
 
     p, qsnbot = snow_mod.snowh2o(p, dt, qsnfro, qsnsub, qrain, gen.ssi)
+    if _trunc == 3:
+        return _early(p, qsnbot)
 
     # zero empty layers (func:5127-5133)
     active = jnp.arange(MSNOW) >= (MSNOW - p.nsnow)
@@ -214,6 +236,9 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
     sneqv = jnp.where(p.nsnow > 0,
                       jnp.sum(jnp.where(active, ice + liq, 0.0)),
                       p.sneqv)
+    if _trunc == 4:
+        return _early(p._replace(ice=ice, liq=liq, sneqv=sneqv),
+                      qsnbot)
 
     # rebuild zsnso/dzsnso (func:5154-5172)
     dz_full = jnp.concatenate([dz3, dz_soil])

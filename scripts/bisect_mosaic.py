@@ -110,6 +110,11 @@ def install_stubs(stubs):
     from noahmp_tpu.physics import sfc as SFC
 
     targets = {
+        "snowfall": (SN, "snowfall"),
+        "compact": (SN, "compact"),
+        "combine": (SN, "combine"),
+        "divide": (SN, "divide"),
+        "snowh2o": (SN, "snowh2o"),
         "thermo": (TH, "thermoprop"),
         "stomata": (SFC, "stomata"),
         "canres": (SFC, "canres"),

@@ -18,6 +18,7 @@ sys.path.insert(0, _REPO)
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # oracle comparison is CPU work
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from noahmp_tpu.params import load_params  # noqa: E402
@@ -98,8 +99,9 @@ def _run(params, params_host, name, opts, nsteps, seed, resync):
         f = mkforcing(rng, n)
         prev_j = st_j
         st_j, _ = step(static, f, st_j)
-        base = State(**{nm: np.asarray(getattr(prev_j, nm))
-                        for nm in State._fields}) if resync else st_n
+        # device_get (one tree transfer) — per-leaf np.asarray costs
+        # ~1-3 ms each and dominates the loop
+        base = jax.device_get(prev_j) if resync else st_n
         upd = {nm: np.asarray(getattr(base, nm)).copy()
                for nm in State._fields}
         for i in range(n):

@@ -79,7 +79,7 @@ def _host_params(params):
 
 
 def compare(params, opts, static, forcing, state, dt, nsteps, cols,
-            atol_t=0.05, atol_w=1e-3):
+            atol_t=0.02, atol_w=1e-3, atol_sneqv=0.05):
     step = make_step(params, opts, dt, donate=False)
     sj = state
     traj_j = []
@@ -103,7 +103,7 @@ def compare(params, opts, static, forcing, state, dt, nsteps, cols,
                 np.asarray(sjt.swc[i]), sn["swc"], atol=atol_w,
                 err_msg=f"swc col {i} step {t}")
             np.testing.assert_allclose(
-                float(sjt.sneqv[i]), sn["sneqv"], atol=0.5,
+                float(sjt.sneqv[i]), sn["sneqv"], atol=atol_sneqv,
                 err_msg=f"sneqv col {i} step {t}")
 
 
@@ -205,20 +205,122 @@ def test_stochastic_regime_fuzz(params):
             upd[name] = jnp.asarray(ref)
         st_n = State(**upd)
 
-        # tolerances: ~10x the divergence measured over 200-step runs
-        # across seeds {42, 7, 123} (max tg 0.0034 K, tv 0.011 K,
-        # swc 2.3e-6, sneqv 0.003 mm; zero layer-count divergences)
+        # tolerances: measured x10 (VERDICT r3 next #8) over 200-step
+        # runs across seeds {42, 7, 123}: max tg 0.0034 K, tv 0.011 K,
+        # swc 2.3e-6, sneqv 0.003 mm; zero layer-count divergences
         np.testing.assert_allclose(
-            float(st_j.tg[0]), sn["tg"], atol=0.05,
+            float(st_j.tg[0]), sn["tg"], atol=0.034,
             err_msg=f"tg diverged at step {t} (sfctmp={sfctmp:.1f})")
         np.testing.assert_allclose(
-            float(st_j.tv[0]), sn["tv"], atol=0.1,
+            float(st_j.tv[0]), sn["tv"], atol=0.11,
             err_msg=f"tv diverged at step {t}")
         np.testing.assert_allclose(
-            np.asarray(st_j.swc[0]), sn["swc"], atol=1e-4,
+            np.asarray(st_j.swc[0]), sn["swc"], atol=2.3e-5,
             err_msg=f"swc diverged at step {t}")
         np.testing.assert_allclose(
-            float(st_j.sneqv[0]), sn["sneqv"], atol=0.05,
+            float(st_j.sneqv[0]), sn["sneqv"], atol=0.03,
             err_msg=f"sneqv diverged at step {t}")
         assert int(st_j.nsnow[0]) == int(sn["nsnow"]), \
             f"layer count diverged at step {t}"
+
+
+# ---------------------------------------------------------------------
+# Round-4 extended fuzz (VERDICT r3 next #8): 500 single-step-resync
+# comparisons x 8 heterogeneous columns (incl. urban/barren/tundra and
+# clay soils the round-3 fuzz never touched) x 6 option combos.  The
+# oracle restarts every step from the JAX state, so each comparison is
+# a pure one-step numerical check on a fresh realistic state — chaotic
+# trajectory decoupling across knife-edge thresholds cannot compound.
+# Calibration (scripts/calibrate_fuzz.py --resync): typical per-step
+# divergence is <=1e-2 K; rare masked-vs-serial iteration-count flips
+# in the Newton/Chen97 loops produce isolated bounded outliers
+# (3 in 4000 column-steps measured, max tg 2.0 K, tv 1.25 K).  The
+# assertions below encode exactly that: tight bounds for >=99.5% of
+# column-steps, hard caps for the outliers, EXACT layer counts always.
+# This fuzz also caught a real oracle bug in round 4 (missing
+# opt_stc=2 snow-surface TG cap, func:1318-1330).
+
+FUZZ_LUTYP = [7, 14, 19, 11, 5, 2, 1, 21]
+FUZZ_SLTYP = [6, 4, 1, 8, 9, 3, 12, 5]
+FUZZ_ISC = [4, 2, 7, 5, 1, 3, 6, 8]
+
+FUZZ_COMBOS = [
+    ("default", Options()),
+    ("frz2_tbot1", Options(frz=2, tbot=1)),
+    ("jarvis_run3_inf2", Options(crs=2, run=3, inf=2)),
+    ("dynveg2", Options(veg=2, crs=1)),
+    ("snf2_stc2", Options(snf=2, stc=2)),
+    ("btr3_run4_alb1_sfc2", Options(btr=3, run=4, alb=1, sfc=2)),
+]
+
+# tight bounds = calibrated max x ~10 margin on the smooth population;
+# caps = isolated knife-edge outliers x ~2
+FUZZ_TIGHT = dict(tg=0.1, tv=0.3, swc=1e-4, sneqv=0.05, canliq=0.02)
+FUZZ_CAP = dict(tg=4.0, tv=2.5, swc=1e-3, sneqv=0.5, canliq=0.25)
+FUZZ_OUTLIER_FRAC = 0.005
+
+
+def _fuzz_forcing(rng, n):
+    day = rng.random(n) < 0.5
+    rep = lambda v: np.full(n, v, np.float32)  # noqa: E731
+    return Forcing(
+        sfctmp=rng.uniform(250.0, 305.0, n).astype(np.float32),
+        sfcprs=rep(90000.0), psfc=rep(90000.0),
+        uu=rng.uniform(0.5, 12.0, n).astype(np.float32), vv=rep(1.0),
+        q2=rng.uniform(0.001, 0.012, n).astype(np.float32),
+        soldn=np.where(day, rng.uniform(100.0, 900.0, n),
+                       0.0).astype(np.float32),
+        lwdn=rng.uniform(200.0, 400.0, n).astype(np.float32),
+        prcp=rng.choice([0.0, 0.0002, 0.001, 0.004],
+                        n).astype(np.float32),
+        cosz=np.where(day, rng.uniform(0.1, 0.95, n),
+                      -0.2).astype(np.float32),
+        co2air=rep(39.0), o2air=rep(18900.0), foln=rep(1.0),
+        julian=rep(180.0), yearlen=rep(366.0))
+
+
+@pytest.mark.parametrize("name,opts", FUZZ_COMBOS,
+                         ids=[c[0] for c in FUZZ_COMBOS])
+def test_resync_fuzz_500(params, params_host, name, opts):
+    import jax
+    from noahmp_tpu import native as native_mod
+
+    n = len(FUZZ_LUTYP)
+    nsteps = 500
+    rng = np.random.default_rng(42)
+    static = init_static(n)._replace(
+        lutyp=np.asarray(FUZZ_LUTYP, np.int32),
+        sltyp=np.asarray(FUZZ_SLTYP, np.int32),
+        isc=np.asarray(FUZZ_ISC, np.int32))
+    st_j = init_state(n, tg=278.0, tv=278.0, stc_soil=278.0)
+    step = make_step(params, opts, 900.0, donate=False)
+
+    outliers = 0
+    total = 0
+    for t in range(nsteps):
+        f = _fuzz_forcing(rng, n)
+        prev = jax.device_get(st_j)
+        st_j, _ = step(static, f, st_j)
+        jarr = {k: np.asarray(getattr(st_j, k))
+                for k in ("tg", "tv", "swc", "sneqv", "canliq",
+                          "nsnow")}
+        for i in range(n):
+            sn, _fl = native_mod.step_column(params_host, opts, static,
+                                             f, prev, i, 900.0)
+            assert int(jarr["nsnow"][i]) == int(sn["nsnow"]), \
+                f"{name}: layer count diverged step {t} col {i}"
+            is_out = False
+            for fld, tol in FUZZ_TIGHT.items():
+                d = float(np.max(np.abs(
+                    np.asarray(jarr[fld][i], np.float64)
+                    - np.asarray(sn[fld], np.float64))))
+                assert d <= FUZZ_CAP[fld], (
+                    f"{name}: {fld} diff {d:.3g} beyond hard cap at "
+                    f"step {t} col {i} (lutyp {FUZZ_LUTYP[i]})")
+                if d > tol:
+                    is_out = True
+            outliers += is_out
+            total += 1
+    assert outliers <= FUZZ_OUTLIER_FRAC * total, (
+        f"{name}: {outliers}/{total} column-steps beyond tight bounds "
+        f"(allowed {FUZZ_OUTLIER_FRAC:.1%})")
