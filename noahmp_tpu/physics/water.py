@@ -243,9 +243,11 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
     # rebuild zsnso/dzsnso (func:5154-5172)
     dz_full = jnp.concatenate([dz3, dz_soil])
     zsnso = -cumsum_small(dz_full)
-    # inactive snow slots must carry zero depth
-    full_active = jnp.concatenate([active,
-                                   jnp.ones(NSOIL, dtype=bool)])
+    # inactive snow slots must carry zero depth.  Same predicate as
+    # ``active`` extended over the soil slots (always active); written
+    # as one comparison because a bool concatenate needs an i1 vreg
+    # relayout Mosaic cannot do ("Invalid vector register cast").
+    full_active = jnp.arange(MSNOW + NSOIL) >= (MSNOW - p.nsnow)
     zsnso = jnp.where(full_active, zsnso, 0.0)
     dzsnso = jnp.where(full_active, dz_full, 0.0)
 
