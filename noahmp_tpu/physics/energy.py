@@ -253,7 +253,15 @@ def energy(params, opts, st, dt, nsnow, dzsnso, rhoair, sfcprs, psfc,
     cm_new = agg(vf.cmv, bf.cmb)
     ch_new = agg(vf.chv, bf.chb)
     q2e = agg(vf.q2v, bf.q2b)
-    qsfc_new = jnp.where(use_veg, vf.qsfc, bf.qsfc)
+    # the reference threads ONE inout QSFC through vege_flux then
+    # bare_flux (func:1200-1239); bare_flux always runs last and
+    # overwrites it before any read (func:3218), so the persisted
+    # state QSFC is the bare-tile value even on vegetated tiles (the
+    # veg-blended Q1 computed at func:1260 is a write-only local in
+    # the caller, func:210).  Mirror that aliasing exactly.  Found by
+    # validate/audit_constants.py (the 0.378 literal of Q1 had no
+    # oracle counterpart).
+    qsfc_new = bf.qsfc
     tv_new = jnp.where(use_veg, vf.tv, tv)
     eah_new = jnp.where(use_veg, vf.eah, eah)
     tah_new = jnp.where(use_veg, vf.tah, tah)

@@ -163,6 +163,19 @@ class SnowWaterOut(NamedTuple):
     ponding2: jnp.ndarray
 
 
+def _active_slots(nsnow, nslots):
+    """Live-slot mask for a bottom-aligned layer array of ``nslots``:
+    the MSNOW snow slots alone, or extended by the always-live soil
+    slots (index >= MSNOW).  Written as ONE comparison rather than a
+    bool concatenate of [snow_mask, ones] because an i1 concatenate
+    needs a vreg relayout Mosaic cannot do ("Invalid vector register
+    cast").  Correctness of the extended form relies on the invariant
+    0 <= nsnow <= MSNOW (snow.py guards every nsnow decrement with
+    nsnow > 0 and every increment against MSNOW); if nsnow could go
+    negative, soil depths would be silently zeroed here."""
+    return jnp.arange(nslots) >= (MSNOW - nsnow)
+
+
 def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
                    qsnow, qsnfro, qsnsub, qrain, ficeold, nsnow, snowh,
                    sneqv, snice, snliq, swc, sice,
@@ -213,7 +226,7 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
         return _early(p, qsnbot)
 
     # zero empty layers (func:5127-5133)
-    active = jnp.arange(MSNOW) >= (MSNOW - p.nsnow)
+    active = _active_slots(p.nsnow, MSNOW)
     ice = jnp.where(active, p.ice, 0.0)
     liq = jnp.where(active, p.liq, 0.0)
     stc3 = jnp.where(active, p.stc, 0.0)
@@ -243,11 +256,9 @@ def snowwater_full(gen, dt, zsoil, dzsnow, imelt_snow, sfctmp, snowhin,
     # rebuild zsnso/dzsnso (func:5154-5172)
     dz_full = jnp.concatenate([dz3, dz_soil])
     zsnso = -cumsum_small(dz_full)
-    # inactive snow slots must carry zero depth.  Same predicate as
-    # ``active`` extended over the soil slots (always active); written
-    # as one comparison because a bool concatenate needs an i1 vreg
-    # relayout Mosaic cannot do ("Invalid vector register cast").
-    full_active = jnp.arange(MSNOW + NSOIL) >= (MSNOW - p.nsnow)
+    # inactive snow slots must carry zero depth; soil slots are always
+    # live (see _active_slots for the nsnow invariant this rests on)
+    full_active = _active_slots(p.nsnow, MSNOW + NSOIL)
     zsnso = jnp.where(full_active, zsnso, 0.0)
     dzsnso = jnp.where(full_active, dz_full, 0.0)
 

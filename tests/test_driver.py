@@ -422,6 +422,7 @@ def test_cli_end_to_end_generated_case(tmp_path):
     assert len(res) == 1
 
 
+@pytest.mark.slow
 def test_chunk_pow2_decomposition_matches_per_step(tmp_path):
     """Non-power-of-two windows (7 steps here) are decomposed into
     power-of-two chunks (4+2+1) so jit compiles at most log2(cap)

@@ -240,9 +240,16 @@ def test_stochastic_regime_fuzz(params):
 # This fuzz also caught a real oracle bug in round 4 (missing
 # opt_stc=2 snow-surface TG cap, func:1318-1330).
 
-FUZZ_LUTYP = [7, 14, 19, 11, 5, 2, 1, 21]
-FUZZ_SLTYP = [6, 4, 1, 8, 9, 3, 12, 5]
-FUZZ_ISC = [4, 2, 7, 5, 1, 3, 6, 8]
+# Columns 8+9 are the round-5 additions (VERDICT r4 next #6): a
+# glacier column (USGS lutyp 24 = ISICE, pre-loaded near the 2000 mm
+# overflow threshold) and a lake column (lutyp 16 = ISWATER, ist=2,
+# WSLMAX branch) so the special surface types see resync fuzz, not
+# just 24-step trajectories.
+FUZZ_LUTYP = [7, 14, 19, 11, 5, 2, 1, 21, 24, 16]
+FUZZ_SLTYP = [6, 4, 1, 8, 9, 3, 12, 5, 1, 6]
+FUZZ_ISC = [4, 2, 7, 5, 1, 3, 6, 8, 1, 4]
+FUZZ_IST = [1, 1, 1, 1, 1, 1, 1, 1, 1, 2]
+GLACIER_COL = 8
 
 FUZZ_COMBOS = [
     ("default", Options()),
@@ -251,6 +258,10 @@ FUZZ_COMBOS = [
     ("dynveg2", Options(veg=2, crs=1)),
     ("snf2_stc2", Options(snf=2, stc=2)),
     ("btr3_run4_alb1_sfc2", Options(btr=3, run=4, alb=1, sfc=2)),
+    # round-5 additions: opt_rad 2/3 and opt_run=2 (zwteq equilibrium
+    # water table) previously existed only in 24-step trajectories
+    ("rad2_run2", Options(rad=2, run=2)),
+    ("rad3_frz2_snf3", Options(rad=3, frz=2, snf=3)),
 ]
 
 # tight bounds = calibrated max x ~10 margin on the smooth population;
@@ -281,18 +292,49 @@ def _fuzz_forcing(rng, n):
 
 @pytest.mark.parametrize("name,opts", FUZZ_COMBOS,
                          ids=[c[0] for c in FUZZ_COMBOS])
-def test_resync_fuzz_500(params, params_host, name, opts):
+def test_resync_fuzz(params, params_host, name, opts, runslow):
     import jax
     from noahmp_tpu import native as native_mod
 
     n = len(FUZZ_LUTYP)
-    nsteps = 500
+    # default: 75-step subsample per combo keeps the suite usable
+    # (~15 s/combo); CI --runslow runs the full calibrated 500 steps
+    nsteps = 500 if runslow else 75
     rng = np.random.default_rng(42)
     static = init_static(n)._replace(
         lutyp=np.asarray(FUZZ_LUTYP, np.int32),
         sltyp=np.asarray(FUZZ_SLTYP, np.int32),
-        isc=np.asarray(FUZZ_ISC, np.int32))
+        isc=np.asarray(FUZZ_ISC, np.int32),
+        ist=np.asarray(FUZZ_IST, np.int32))
     st_j = init_state(n, tg=278.0, tv=278.0, stc_soil=278.0)
+    # glacier column: cold, fully-layered 4 m pack just under the
+    # 2000 mm SWE overflow threshold so the fuzz crosses it within a
+    # few snowy steps while already layered (the reference's bulk
+    # overflow path divides 0/0 when ISNOW=0, func:5137-5143 — real
+    # glaciers are always layered, so start there)
+    def percol(field, col, val):
+        a = np.array(getattr(st_j, field), np.float32)
+        a[col] = val
+        return a
+    gl_dz = np.array([0.05, 0.2, 3.75], np.float32)
+    gl_ice = np.array([25.0, 100.0, 1870.0], np.float32)  # ~500 kg/m3
+    gl_z = -np.cumsum(np.concatenate(
+        [gl_dz, np.diff(np.concatenate(
+            [[0.0], -np.asarray(static.zsoil[GLACIER_COL])]))]))
+    gl_stc = np.concatenate([np.full(3, 266.0), np.full(4, 268.0)])
+    st_j = st_j._replace(
+        nsnow=np.where(np.arange(n) == GLACIER_COL, 3,
+                       np.asarray(st_j.nsnow)).astype(np.int32),
+        snice=percol("snice", GLACIER_COL, gl_ice),
+        snliq=percol("snliq", GLACIER_COL, np.zeros(3, np.float32)),
+        ficeold=percol("ficeold", GLACIER_COL, np.ones(3, np.float32)),
+        zsnso=percol("zsnso", GLACIER_COL, gl_z.astype(np.float32)),
+        stc=percol("stc", GLACIER_COL, gl_stc.astype(np.float32)),
+        sneqv=percol("sneqv", GLACIER_COL, float(gl_ice.sum())),
+        sneqvo=percol("sneqvo", GLACIER_COL, float(gl_ice.sum())),
+        snowh=percol("snowh", GLACIER_COL, float(gl_dz.sum())),
+        tg=percol("tg", GLACIER_COL, 266.0),
+        tv=percol("tv", GLACIER_COL, 266.0))
     step = make_step(params, opts, 900.0, donate=False)
 
     outliers = 0

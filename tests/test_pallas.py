@@ -63,7 +63,15 @@ REGIMES = {
 }
 
 
-@pytest.mark.parametrize("regime", sorted(REGIMES))
+# default run keeps one snow and one unfrozen regime; the other two
+# (same code paths, different numbers) are CI-only --runslow
+_DEFAULT_REGIMES = ("cold_snow", "frozen_morning")
+
+
+@pytest.mark.parametrize(
+    "regime",
+    [r if r in _DEFAULT_REGIMES else pytest.param(r, marks=pytest.mark.slow)
+     for r in sorted(REGIMES)])
 def test_fused_column_step_interpret(regime):
     """The fused Pallas column kernel reproduces the XLA step
     (interpret mode) across forcing regimes — snow, frozen soil, hot

@@ -91,6 +91,7 @@ def test_sharded_checkpoint_roundtrip(tmp_path, setup):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_batch_minor_layout_matches_major(setup):
     """The batch-minor layout (points on the 128-lane axis, PERF.md
     lever 2) is bit-identical to the default batch-major layout."""
