@@ -20,6 +20,33 @@ try:
 except Exception:  # pragma: no cover - orbax is present in this image
     HAVE_ORBAX = False
 
+if HAVE_ORBAX:
+    # In a REAL multi-process job (jax.distributed initialized),
+    # orbax's save path asks jax's PreemptionSyncManager whether a
+    # preemption sync point was reached.  jax 0.9's nanobind
+    # PreemptionSyncManager rejects the call orbax 0.11 makes
+    # (TypeError: incompatible function arguments) and the whole save
+    # crashes — found by the 2-process CPU SPMD run
+    # (scripts/mp_spmd_cpu.py); single-process runs never enter this
+    # branch.  Preemption-triggered early checkpointing is an
+    # optimization, not correctness: degrade to "no preemption
+    # signal" instead of failing the save.
+    try:
+        from jax.experimental import multihost_utils as _jmhu
+
+        _orig_rpsp = _jmhu.reached_preemption_sync_point
+
+        def _safe_reached_preemption_sync_point(step_id):
+            try:
+                return _orig_rpsp(step_id)
+            except TypeError:
+                return False
+
+        _jmhu.reached_preemption_sync_point = \
+            _safe_reached_preemption_sync_point
+    except Exception:  # pragma: no cover
+        pass
+
 from ..state import State
 
 

@@ -37,14 +37,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(tree, mesh: Mesh):
     """Place every leaf of a batched pytree with its leading axis sharded
-    over the points axis."""
+    over the points axis (collective-free; see put_global)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: put_global(x, sh), tree)
+
+
+def put_global(x, sh: NamedSharding):
+    """Collective-free placement of host data onto a (possibly
+    multi-process) sharding.
+
+    In a REAL multi-process job, ``jax.device_put(host_array, s)``
+    runs a cross-process ``assert_equal`` allgather for every call
+    (jax dispatch.py).  That is wrong for us three times over, all
+    observed via scripts/mp_spmd_cpu.py:
+
+    - the parameter tables deliberately preserve the reference's nan4
+      "unset" sentinels (module_noahmp_const.f90:12-13) and identical
+      NaN-bearing arrays FAIL the elementwise ``==`` check;
+    - the driver uploads forcing chunks from a prefetch thread while
+      the main thread places other arrays — two processes interleave
+      those hidden collectives differently and the Gloo transport
+      dies with a payload-size mismatch;
+    - a collective per placed leaf per chunk is pure overhead: every
+      process already holds the data.
+
+    So: slice the host array per addressable device and assemble the
+    global jax.Array directly — no communication at all."""
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    if isinstance(x, jax.Array) and not getattr(x, "is_deleted",
+                                                lambda: False)():
+        if x.sharding == sh:
+            return x  # already placed
+        x = np.asarray(x)  # local fetch (callers pass host/replicated)
+    arr = np.asarray(x)
+    shards = [jax.device_put(arr[idx], d)
+              for d, idx in
+              sh.addressable_devices_indices_map(arr.shape).items()]
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sh, shards)
+
+
+_put_replicated = put_global  # backwards-compat alias
 
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: put_global(x, sh), tree)
 
 
 class StepDiagnostics(NamedTuple):
@@ -70,8 +110,9 @@ def make_sharded_step(params, opts, dt, mesh: Mesh, donate=True,
     # Params travel as explicit (replicated) jit arguments, never as
     # closure constants: lowering a device-resident constant forces a
     # device->host fetch that wedges relayed TPU backends (see
-    # driver/step.py make_step).
-    params = jax.device_put(params, sh_r)
+    # driver/step.py make_step).  NaN-sentinel tables need the
+    # assert-free placement (_put_replicated).
+    params = jax.tree.map(lambda x: _put_replicated(x, sh_r), params)
 
     def _step(params, static, forcing, state):
         col = partial(column_step, params, opts)

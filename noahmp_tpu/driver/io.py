@@ -170,6 +170,25 @@ def save_restart(path: str, state: State, when: datetime.datetime):
     return save_arrays(path, arrays)
 
 
+def save_restart_shard(path: str, state: State,
+                       when: datetime.datetime, shard):
+    """Per-host restart shard for multi-process runs WITHOUT orbax:
+    this process's rows [lo, hi) only (a global np.asarray cannot
+    fetch non-addressable shards).  Same ``.pLO-HI`` suffix scheme as
+    the sharded OutputWriter; ``merge_shard_files`` on the restart
+    directory reassembles full restart files."""
+    lo, hi, npoints = shard
+    arrays = {name: _local_block(getattr(state, name), lo, hi)
+              for name in STATE_FIELDS}
+    arrays["_timestamp"] = np.asarray(when.isoformat())
+    arrays["_shard_lo"] = np.asarray(lo, np.int64)
+    arrays["_shard_hi"] = np.asarray(hi, np.int64)
+    arrays["_npoints"] = np.asarray(npoints, np.int64)
+    fmt = os.path.splitext(path)[1].lstrip(".") or "nc"
+    return save_arrays(f"{path}.p{lo:09d}-{hi:09d}", arrays,
+                       format=fmt)
+
+
 def load_restart(path: str):
     d = load_arrays(path)
     ts = np.asarray(d.pop("_timestamp")).ravel()[0]
@@ -259,7 +278,9 @@ class ChunkPrefetcher:
                         lambda *xs: np.stack(
                             [np.asarray(x) for x in xs]), *fo)
                     if sharding is not None:
-                        stacked = jax.device_put(stacked, sharding)
+                        from ..dist.mesh import put_global
+                        stacked = jax.tree.map(
+                            lambda a: put_global(a, sharding), stacked)
                     else:
                         stacked = jax.device_put(stacked)
                     self._q.put(stacked)

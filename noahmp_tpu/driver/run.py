@@ -21,6 +21,17 @@ from .step import make_step
 from . import io as io_mod
 
 
+def _host_abs_max(arr) -> float:
+    """max |arr| on the host; for a multi-process global array only
+    the local (addressable) shards are reduced — callers use this for
+    advisory diagnostics where a per-host max is the right scope."""
+    try:
+        return float(np.max(np.abs(np.asarray(arr))))
+    except RuntimeError:  # spans non-addressable devices
+        return float(max(np.max(np.abs(np.asarray(s.data)))
+                         for s in arr.addressable_shards))
+
+
 def _chunk_schedule(begin, end, ts, outfreq, res_cad, cap):
     """Deterministic (when, steps) chunk plan for a run: chunks stop at
     every output/restart cadence boundary, are capped at ``cap`` steps,
@@ -100,8 +111,24 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
         else:
             state = init_state(n)
 
+    # host-side copy for forcing providers / advisory checks: once
+    # sharded over a multi-process mesh, np.asarray(static.*) cannot
+    # fetch non-addressable shards (found by scripts/mp_spmd_cpu.py)
+    static_host = static
+
     if mesh is not None:
-        from ..dist.mesh import make_sharded_step, shard_batch
+        from ..dist.mesh import (make_sharded_step, shard_batch,
+                                 replicate)
+        import jax as __jax
+        # Re-place the (possibly device-resident single-chip) params
+        # ONCE as a replicated global array.  Passing a committed
+        # single-device array into the sharded jit makes EVERY call
+        # run a cross-process assert_equal allgather at argument
+        # placement — the NaN table sentinels fail its == compare,
+        # and concurrently with the prefetch/sink threads the
+        # repeated process-level collectives can desync the Gloo
+        # streams outright (both observed via scripts/mp_spmd_cpu.py).
+        params = replicate(__jax.tree.map(np.asarray, params), mesh)
         static = shard_batch(static, mesh)
         state = shard_batch(state, mesh)
         sharded = make_sharded_step(params, cfg.options, cfg.dt, mesh,
@@ -125,9 +152,9 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
     if forcing_provider is None:
         if os.path.isdir(cfg.indir) and os.listdir(cfg.indir):
             forcing_provider = io_mod.FileForcing(cfg.indir, cfg.infreq,
-                                                  static)
+                                                  static_host)
         else:
-            forcing_provider = io_mod.SyntheticForcing(static)
+            forcing_provider = io_mod.SyntheticForcing(static_host)
 
     import jax as _jax
     if shard_output is None:
@@ -146,16 +173,23 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
     from .config import as_cadence
     res_cad = as_cadence(cfg.resfreq)
 
+    multiproc = mesh is not None and _jax.process_count() > 1
+
     def save_restart_at(when, state):
+        path = os.path.join(
+            cfg.resdir,
+            "restart_" + when.strftime("%Y%m%d%H%M") + ".nc")
         if ckpt is not None:
             # async save overlaps the next model steps
             ckpt.save(int((when - _ANCHOR).total_seconds()), state)
+        elif multiproc:
+            # no orbax: each process writes its rows; driver.merge on
+            # the restart directory reassembles full restart files
+            from ..dist.mesh import process_slice
+            rlo, rhi = process_slice(mesh, n)
+            io_mod.save_restart_shard(path, state, when, (rlo, rhi, n))
         else:
-            io_mod.save_restart(
-                os.path.join(
-                    cfg.resdir,
-                    "restart_" + when.strftime("%Y%m%d%H%M") + ".nc"),
-                state, when)
+            io_mod.save_restart(path, state, when)
 
     if dispatch == "auto":
         dispatch = "chunk"
@@ -210,13 +244,13 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
 
         def record_errwat(arr):
             errwat_box[0] = max(errwat_box[0],
-                                np.float32(np.max(np.asarray(arr))))
+                                np.float32(_host_abs_max(arr)))
 
         def advisory_check(errsw, erreng, errwat):
             class _Res:  # duck-typed Flux for check_budgets
                 pass
             _Res.errsw, _Res.erreng, _Res.errwat = errsw, erreng, errwat
-            utils.check_budgets(_Res, ist=static.ist)
+            utils.check_budgets(_Res, ist=static_host.ist)
 
         acc = None
         win_steps = 0
@@ -226,6 +260,14 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
                 if acc is None:
                     acc = tuple(np.zeros((n,), np.float32)
                                 for _ in acc_spec)
+                    if mesh is not None:
+                        # raw numpy can't meet a cross-process
+                        # in_sharding; place the zero accumulators
+                        # explicitly (each process uploads its slice)
+                        from ..dist.mesh import (batch_sharding,
+                                                 put_global)
+                        shb = batch_sharding(mesh)
+                        acc = tuple(put_global(a, shb) for a in acc)
                 if strict:
                     state, acc, bad_step = chunk(static, forcings,
                                                  state, acc)
@@ -234,8 +276,8 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
                         # match the reference's wrf_error_fatal: the
                         # run dies at the violating step (func:709,721);
                         # state as of that step is in `state`
-                        errsw_m = float(np.max(np.asarray(acc[-3])))
-                        erreng_m = float(np.max(np.asarray(acc[-2])))
+                        errsw_m = _host_abs_max(acc[-3])
+                        erreng_m = _host_abs_max(acc[-2])
                         raise utils.ConservationError(
                             f"budget abort (strict): |ERRSW| or "
                             f"|ERRENG| > 0.01 W/m2 at model time "
@@ -272,19 +314,29 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
         finally:
             sink.close()
     else:
+        multiproc = mesh is not None and _jax.process_count() > 1
+        if multiproc:
+            from ..dist.mesh import batch_sharding
+            sh_b1 = batch_sharding(mesh)
         while when < cfg.enddatetime:
             forcing = forcing_provider(when)
+            if multiproc:
+                # raw numpy can't meet the step's cross-process
+                # in_sharding; upload each process's slice explicitly
+                from ..dist.mesh import put_global
+                forcing = _jax.tree.map(
+                    lambda a: put_global(a, sh_b1), forcing)
             state, flux = step(static, forcing, state)
             when = when + cfg.timestep
             nsteps += 1
             if check_budgets_every \
                     and nsteps % check_budgets_every == 0:
                 from .. import utils
-                utils.check_budgets(flux, ist=static.ist)
+                utils.check_budgets(flux, ist=static_host.ist)
             writer.push(when, flux, state)
             if res_cad.due(when):
                 save_restart_at(when, state)
-            errwat_box[0] = float(np.max(np.abs(np.asarray(flux.errwat))))
+            errwat_box[0] = _host_abs_max(flux.errwat)
     if ckpt is not None:
         ckpt.close()
     elapsed = time.perf_counter() - t0

@@ -40,6 +40,10 @@ def _free_port():
 
 def _env(ndev):
     env = dict(os.environ)
+    # the axon TPU-relay plugin hijacks jax.distributed.initialize
+    # when its pool var is set (workers come up as isolated 1-device
+    # processes); strip it for CPU SPMD subprocesses
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + f" --xla_force_host_platform_device_count={ndev}"
