@@ -32,8 +32,13 @@ def vsel(x, idx):
     batched scalar) batches layer-minor while layer arrays batch
     layer-major, and the mixed layouts lower as unsupported
     tpu.transpose ops."""
-    acc = jnp.zeros_like(x[..., 0])
-    for k in range(x.shape[-1]):
+    # seed from lane 0, not a zeros splat: Mosaic lays constant splats
+    # out replicated ({*,*}) and cannot relayout the batched where-
+    # branch INTO a replicated destination ("Non-singleton logical
+    # dimension is replicated in destination but not in source").
+    # Value-identical: idx is in-bounds, so idx==0 keeps x[..., 0].
+    acc = x[..., 0]
+    for k in range(1, x.shape[-1]):
         acc = jnp.where(idx == k, x[..., k], acc)
     return acc
 

@@ -47,7 +47,8 @@ def column_step(params, opts, static: Static, forcing: Forcing,
     nroot = veg_p.nroot[lutyp]
     layer = jnp.arange(NSOIL)
     in_root = layer < nroot
-    zroot = -vsel(zsoil, jnp.maximum(nroot - 1, 0))
+    zroot = -jnp.sum(jnp.where(layer == jnp.maximum(nroot - 1, 0),
+                               zsoil, 0.0))
     troot = jnp.sum(jnp.where(in_root,
                               st.stc[MSNOW:] * dz_soil / zroot, 0.0))
 

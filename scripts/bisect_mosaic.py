@@ -151,6 +151,13 @@ def main():
     jstep = jax.jit(step)
     t0 = time.time()
     try:
+        # staged, so a log shows whether time went to client tracing
+        # or the remote Mosaic compile (the latter runs 10s of minutes
+        # on a cache miss through the relay)
+        lowered = jstep.lower(forcing, state)
+        print(f"traced+lowered ({time.time()-t0:.1f}s)", flush=True)
+        lowered.compile()
+        print(f"compiled ({time.time()-t0:.1f}s)", flush=True)
         s1, f1 = jstep(forcing, state)
         jax.block_until_ready(s1)
         print(f"COMPILE_OK stubs={sorted(stubs)} "
