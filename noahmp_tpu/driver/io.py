@@ -251,6 +251,110 @@ class AsyncSink:
         self._check()
 
 
+# ---------------------------------------------------------------------
+# Compact (device-interp) chunk forcing.
+#
+# The exact pipeline uploads a fully-materialized (T, n) stack of all
+# 15 Forcing fields per chunk even though the source data is hourly
+# and most fields are linear interpolations of two hourly frames: at
+# 131k points that is ~7.9 MB per 900 s step, and over the relayed
+# single-chip link the upload dominates the production case wall time
+# (CASE_r05: dispatch 45 ms RT + ~0.25 s/step upload vs a 12 ms
+# compute step).  Compact mode uploads the unique hourly frames once
+# plus per-step scalars, and a small jitted expander materializes the
+# (T, n) stack ON DEVICE: ~4x less host->device traffic, identical
+# downstream contract.  Opt-in (forcing_mode="compact") because the
+# device interpolation may differ from the host's by an FMA ulp.
+# ---------------------------------------------------------------------
+
+FRAME_FIELDS = ("sfctmp", "sfcprs", "q2", "uu", "vv", "soldn", "lwdn",
+                "prcp")
+# mirrors FileForcing.INTERP/HOLD (defined below; asserted in tests)
+_INTERP_SET = frozenset(FRAME_FIELDS) - {"prcp"}
+
+
+def compact_chunk(provider: "FileForcing", when, steps, timestep):
+    """Host-side compact representation of one chunk's forcing:
+    (frames (H, 8, n), i0 (T,), w (T,), cosz (T, n), jd (T,),
+    yearlen ()) plus the optional trace-gas constants."""
+    from .config import _ANCHOR
+    n = provider.static.lat.shape[0]
+    secs = provider.infreq.total_seconds()
+    hours = []          # unique frame times, in order
+    hour_index = {}
+    i0 = np.empty(steps, np.int32)
+    w = np.empty(steps, np.float32)
+    jd = np.empty(steps, np.float32)
+    cosz = np.empty((steps, n), np.float32)
+    yearlen = None
+    for t in range(steps):
+        now = when + t * timestep
+        since = (now - _ANCHOR).total_seconds()
+        t0 = _ANCHOR + datetime.timedelta(seconds=(since // secs) * secs)
+        for tt in (t0, t0 + provider.infreq):
+            if tt not in hour_index:
+                hour_index[tt] = len(hours)
+                hours.append(tt)
+        i0[t] = hour_index[t0]
+        w[t] = (now - t0).total_seconds() / secs
+        yearlen = float(solar.year_length(now.year))
+        jd64 = solar.julian_day(now)   # full f64, as the provider uses
+        jd[t] = jd64                   # Forcing.julian is f32 anyway
+        d0 = provider._load(t0)
+        lon = np.asarray(d0.get("lon", 0.0), np.float32)
+        cosz[t] = np.broadcast_to(np.asarray(solar.cos_zenith(
+            np.asarray(provider.static.lat), lon, jd64,
+            yearlen), np.float32), (n,))
+    # consecutive-frame layout so the expander can index i0 and i0+1
+    assert all(hour_index[h] == k for k, h in enumerate(hours))
+    frames = np.empty((len(hours), len(FRAME_FIELDS), n), np.float32)
+    consts = {}
+    for k, h in enumerate(hours):
+        d = provider._load(h)
+        for j, f in enumerate(FRAME_FIELDS):
+            frames[k, j] = np.broadcast_to(
+                np.asarray(d[f], np.float32), (n,))
+        if k == 0:
+            for f, dflt in (("co2air", 39.0), ("o2air", 18900.0),
+                            ("foln", 1.0)):
+                consts[f] = np.broadcast_to(np.asarray(
+                    d.get(f, dflt), np.float32), (n,)).copy()
+    return (frames, i0, w, cosz, jd,
+            np.float32(yearlen), consts["co2air"], consts["o2air"],
+            consts["foln"])
+
+
+def make_chunk_expander():
+    """Jitted device-side expansion of a compact chunk into the
+    stacked (T, n) Forcing the chunked driver consumes."""
+    import jax
+
+    def expand(frames, i0, w, cosz, jd, yearlen, co2air, o2air, foln):
+        a = frames[i0]          # (T, 8, n) — H is tiny, gather is cheap
+        b = frames[i0 + 1]
+        wt = w[:, None]
+        T, n = cosz.shape
+        fields = {}
+        for j, f in enumerate(FRAME_FIELDS):
+            if f in _INTERP_SET:
+                fields[f] = (1.0 - wt) * a[:, j] + wt * b[:, j]
+            else:                       # hold (prcp), LDAS-style
+                fields[f] = a[:, j]
+        rep = lambda v: jnp.broadcast_to(v[None, None], (T, n))  # noqa: E731
+        return Forcing(
+            sfctmp=fields["sfctmp"], sfcprs=fields["sfcprs"],
+            psfc=fields["sfcprs"], uu=fields["uu"], vv=fields["vv"],
+            q2=fields["q2"], soldn=fields["soldn"],
+            lwdn=fields["lwdn"], prcp=fields["prcp"], cosz=cosz,
+            co2air=jnp.broadcast_to(co2air[None], (T, n)),
+            o2air=jnp.broadcast_to(o2air[None], (T, n)),
+            foln=jnp.broadcast_to(foln[None], (T, n)),
+            julian=jnp.broadcast_to(jd[:, None], (T, n)),
+            yearlen=jnp.broadcast_to(yearlen[None, None], (T, n)))
+
+    return jax.jit(expand)
+
+
 class ChunkPrefetcher:
     """Builds the next chunks' stacked forcing on a background thread
     and ships them to the device while the current chunk computes.
@@ -262,27 +366,39 @@ class ChunkPrefetcher:
     memory at two chunks in flight."""
 
     def __init__(self, provider, schedule, timestep, sharding=None,
-                 depth=2):
+                 depth=2, compact=False):
         import queue
         import threading
         import jax
         self._q = queue.Queue(maxsize=depth)
         self._err = None
+        if compact and (sharding is not None
+                        or not isinstance(provider, FileForcing)):
+            # compact mode targets the single-device file-driven case;
+            # sharded paths keep the exact per-leaf upload
+            compact = False
+        expander = make_chunk_expander() if compact else None
 
         def work():
             try:
                 for when, steps in schedule:
-                    fo = [provider(when + i * timestep)
-                          for i in range(steps)]
-                    stacked = jax.tree.map(
-                        lambda *xs: np.stack(
-                            [np.asarray(x) for x in xs]), *fo)
-                    if sharding is not None:
-                        from ..dist.mesh import put_global
-                        stacked = jax.tree.map(
-                            lambda a: put_global(a, sharding), stacked)
+                    if compact:
+                        parts = compact_chunk(provider, when, steps,
+                                              timestep)
+                        stacked = expander(*jax.device_put(parts))
                     else:
-                        stacked = jax.device_put(stacked)
+                        fo = [provider(when + i * timestep)
+                              for i in range(steps)]
+                        stacked = jax.tree.map(
+                            lambda *xs: np.stack(
+                                [np.asarray(x) for x in xs]), *fo)
+                        if sharding is not None:
+                            from ..dist.mesh import put_global
+                            stacked = jax.tree.map(
+                                lambda a: put_global(a, sharding),
+                                stacked)
+                        else:
+                            stacked = jax.device_put(stacked)
                     self._q.put(stacked)
             except BaseException as e:  # noqa: BLE001
                 self._err = e

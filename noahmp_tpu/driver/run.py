@@ -59,7 +59,8 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
                 check_budgets_every=0, mesh=None,
                 use_orbax=None, dispatch: str = "auto",
                 chunk_pointsteps: int = 2 ** 21,
-                chunk_steps: int = 0, shard_output=None):
+                chunk_steps: int = 0, shard_output=None,
+                forcing_mode: str = "exact"):
     """Run the offline case described by ``cfg``.  Returns
     (final_state, output_files).  ``check_budgets_every`` > 0 asserts
     the conservation residuals every N steps (the reference's runtime
@@ -85,6 +86,12 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
     chunk instead of ~30 per step.  "step" is the per-step loop.
     ``chunk_pointsteps`` caps chunk length x points (stacked-forcing
     memory bound: 15 f32 leaves x cap ~= 120 MB at the default).
+
+    ``forcing_mode``: "exact" uploads the host-assembled (T, n) stack
+    (bit-identical to the per-step path); "compact" uploads hourly
+    frames + per-step scalars and interpolates on device (~4x less
+    host->device traffic; may differ from host interp by an FMA ulp).
+    Compact engages only for the single-device FileForcing chunk path.
     """
     params = load_params(cfg.veg_scheme, cfg.soil_scheme)
 
@@ -238,8 +245,9 @@ def run_offline(cfg: Config, verbose=True, forcing_provider=None,
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..dist.mesh import POINTS_AXIS
             sharding = NamedSharding(mesh, P(None, POINTS_AXIS))
-        prefetch = io_mod.ChunkPrefetcher(forcing_provider, schedule,
-                                          ts, sharding=sharding)
+        prefetch = io_mod.ChunkPrefetcher(
+            forcing_provider, schedule, ts, sharding=sharding,
+            compact=(forcing_mode == "compact"))
         sink = io_mod.AsyncSink()
 
         def record_errwat(arr):

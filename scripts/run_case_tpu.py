@@ -3,7 +3,7 @@
 all veg/soil/color classes, real NetCDF hourly ldasin, 3-hourly
 ldasout, daily restart — run uninterrupted, then again as
 day-1 + restart + resume, and check the two final states agree
-bitwise.  Writes CASE_r04.json at the repo root.
+bitwise.  Writes CASE_r05.json at the repo root.
 
 Usage: python scripts/run_case_tpu.py [n] [days] [--keep] [--step]
                [--chunk-steps=T]
@@ -49,6 +49,7 @@ def main():
     days = int(args[1]) if len(args) > 1 else 2
     keep = "--keep" in sys.argv
     dispatch = "step" if "--step" in sys.argv else "chunk"
+    forcing_mode = "compact" if "--compact" in sys.argv else "exact"
     chunk_steps = 0
     for a in sys.argv[1:]:
         if a.startswith("--chunk-steps="):
@@ -94,7 +95,8 @@ def main():
     st_a, files_a = run_offline(cfg, verbose=True,
                                 check_budgets_every=12,
                                 dispatch=dispatch,
-                                chunk_steps=chunk_steps)
+                                chunk_steps=chunk_steps,
+                                forcing_mode=forcing_mode)
     a_s = time.time() - t0
     nsteps = cfg.nsteps
     print(f"[run A {a_s:.1f}s: {nsteps} steps x {n}]", flush=True)
@@ -105,7 +107,8 @@ def main():
     cfg.enddatetime = cfg.begdatetime + datetime.timedelta(days=1)
     t0 = time.time()
     run_offline(cfg, verbose=False, check_budgets_every=0,
-                dispatch=dispatch, chunk_steps=chunk_steps)
+                dispatch=dispatch, chunk_steps=chunk_steps,
+                forcing_mode=forcing_mode)
     b1_s = time.time() - t0
     res_files = [f for f in os.listdir(cfg.resdir)
                  if f.startswith("restart_")]
@@ -117,7 +120,8 @@ def main():
     cfg.resfile = sorted(res_files)[-1]
     t0 = time.time()
     st_b, _ = run_offline(cfg, verbose=False, check_budgets_every=0,
-                          dispatch=dispatch, chunk_steps=chunk_steps)
+                          dispatch=dispatch, chunk_steps=chunk_steps,
+                          forcing_mode=forcing_mode)
     b2_s = time.time() - t0
     print(f"[run B {b1_s:.1f}+{b2_s:.1f}s, resumed from "
           f"{cfg.resfile}]", flush=True)
@@ -148,9 +152,10 @@ def main():
         "budget_asserts": "every 12 steps (errsw/erreng/errwat)",
         "dispatch": dispatch,
         "chunk_steps_cap": chunk_steps,
+        "forcing_mode": forcing_mode,
     }
     print(json.dumps(out, indent=2), flush=True)
-    with open(os.path.join(_REPO, "CASE_r04.json"), "w") as f:
+    with open(os.path.join(_REPO, "CASE_r05.json"), "w") as f:
         json.dump(out, f, indent=2)
     if not keep:
         shutil.rmtree(base)
