@@ -309,6 +309,24 @@ def atan(x):
     return jnp.arctan(x)
 
 
+def zeros_like(x):
+    """Loop-carry-safe zeros_like.
+
+    Under Mosaic, a ``jnp.zeros_like`` init for a ``fori_loop`` carry is
+    a splat constant, and layout inference assigns the loop's iter_arg a
+    *replicated* layout from it; the body then yields a computed
+    (non-replicated) value and the required non-replicated -> replicated
+    relayout is invalid ("Non-singleton logical dimension is replicated
+    in destination but not in source" — measured on the vege_flux canopy
+    loop).  ``x * 0.0`` is value-identical for finite x (the physics
+    carries are temperatures/fluxes) but derives from a loaded tile, so
+    the iter_arg gets a materialized layout.  XLA path: plain zeros.
+    """
+    if _in_mosaic():
+        return x * 0.0
+    return jnp.zeros_like(x)
+
+
 def carry_mask(m):
     """Make a bool mask safe to thread through a ``lax.fori_loop``
     carry.  Mosaic relayouts i1 loop-carry vectors through an i8

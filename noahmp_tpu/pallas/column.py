@@ -233,11 +233,13 @@ def make_pallas_step(params, opts, dt, static, block: int = DEFAULT_BLOCK,
         import os
         from .. import tuning
         _dbg = os.environ.get("NOAHMP_PALLAS_DEBUG", "")
-        # full unroll was required while Mosaic mis-laid-out loop
-        # carries (r3); the r4 compiles suggest that class is gone —
-        # NOAHMP_PALLAS_UNROLL=0 traces rolled fori_loops instead
-        # (far smaller scoped-VMEM stack and compile time)
-        _unroll = os.environ.get("NOAHMP_PALLAS_UNROLL", "1") \
+        # Rolled fori_loops are the default: the r5 splat-free
+        # loop-carry inits (transcend.zeros_like) fixed the Mosaic
+        # iter_arg relayouts that once forced full unrolling, and the
+        # rolled kernel compiles ~50x faster with a far smaller scoped
+        # VMEM stack.  NOAHMP_PALLAS_UNROLL=1 restores full unrolling
+        # (straight-line body) for compilers where that wins.
+        _unroll = os.environ.get("NOAHMP_PALLAS_UNROLL", "0") \
             not in ("0", "false")
         with transcend.mosaic_safe(), tuning.unroll_override(_unroll):
             outs = pl.pallas_call(

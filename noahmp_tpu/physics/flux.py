@@ -83,7 +83,6 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
     -SAG + IRG[TG]+SHG[TG]+EVG[TG]+GH[TG] = 0 by 5 Newton steps on TG.
     """
     dtype = jnp.result_type(tv0)
-    one = jnp.ones((), dtype)
 
     # Mosaic-lowering bisection aid: NOAHMP_VEGE_TRUNC=<n> truncates
     # the function after stage n, returning shape-correct zeros for
@@ -150,12 +149,16 @@ def vege_flux(veg, gen, lutyp, opts, dt, sav, sag, lwdn, ur, uu, vv,
         mozg: jnp.ndarray
         fhg: jnp.ndarray
 
-    z = jnp.zeros((), dtype)
+    # loop-carry init zeros derive from a loaded tile under Mosaic
+    # (transcend.zeros_like) — splat-constant inits give the fori_loop
+    # iter_args replicated layouts the body yield cannot relayout to
+    z = transcend.zeros_like(tv0)
+    onec = z + 1.0
     init = C(tv=tv0, tah=tah0, eah=eah0, cm=cm0, ch=ch0, qsfc=qsfc,
-             h=z, hg=z, irc=z, shc=z, evc=z, tr=z, rahc=one, rahg=one,
-             rawg=one, cvh=z, fv=z + 0.1, fh2=z,
-             liter=transcend.carry_mask(jnp.zeros((), bool)),
-             done=transcend.carry_mask(jnp.zeros((), bool)),
+             h=z, hg=z, irc=z, shc=z, evc=z, tr=z, rahc=onec,
+             rahg=onec, rawg=onec, cvh=z, fv=z + 0.1, fh2=z,
+             liter=transcend.carry_mask(z > 1.0),
+             done=transcend.carry_mask(z > 1.0),
              s1=sfc.sfcdif1_init(z), s2=sfc.Sfcdif2Carry(cm0, ch0, z, z,
                                                          z + 0.1),
              mozg=z, fhg=z)

@@ -79,9 +79,10 @@ class Sfcdif1Carry(NamedTuple):
 
 
 def sfcdif1_init(like):
-    z = jnp.zeros_like(like)
+    # transcend.zeros_like: splat-free under Mosaic (loop-carry layout)
+    z = transcend.zeros_like(like)
     return Sfcdif1Carry(
-        z, transcend.carry_count(jnp.zeros_like(like, dtype=jnp.int32)),
+        z, transcend.carry_count(z.astype(jnp.int32)),
         z, z, z, z, z + 0.1)
 
 

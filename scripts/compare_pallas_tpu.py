@@ -63,11 +63,18 @@ def main():
     print(f"[{time.time()-t0:.1f}s] comparing", flush=True)
 
     worst = {}
+    bad = {}
     for name in sx._fields:
         a = np.asarray(getattr(sx, name), np.float64)
         b = np.asarray(getattr(sp, name), np.float64)
-        worst[name] = float(np.max(np.abs(a - b)))
-    bad = {k: v for k, v in worst.items() if v > 1e-3}
+        worst[name] = d = float(np.max(np.abs(a - b)))
+        # scale-aware: 1e-3 absolute for O(1) fields, relative for
+        # large-magnitude ones (eah/sfcprs are O(1e3) Pa — an absolute
+        # 1e-3 Pa would demand ~2 ulp agreement from a kernel with a
+        # different f32 fusion order)
+        scale = max(1.0, float(np.max(np.abs(a))))
+        if d > 1e-3 * scale:
+            bad[name] = d
     top = sorted(worst.items(), key=lambda kv: -kv[1])[:8]
     print("top state diffs:",
           " ".join(f"{k}={v:.2e}" for k, v in top), flush=True)
@@ -82,11 +89,33 @@ def main():
             f"{tag} violates the reference budget"
 
     if bad:
-        print(f"DIFFER beyond 1e-3 after {steps} steps: {bad}",
-              flush=True)
+        print(f"DIFFER beyond scale-aware 1e-3 after {steps} steps: "
+              f"{bad}", flush=True)
+    else:
+        print(f"MATCH: all state leaves within scale-aware 1e-3 after "
+              f"{steps} steps", flush=True)
+
+    # timed head-to-head on the same executables (one scalar fetch as
+    # the completion barrier — block_until_ready can return at
+    # dispatch-acknowledge over the relay, PERF.md)
+    import jax.numpy as jnp
+    iters = 20
+    for tag, stp, s in (("xla", lambda st: xla_step(static_d, forcing,
+                                                    st), sx),
+                        ("pallas", lambda st: pl_step(forcing, st),
+                         sp)):
+        s, _ = stp(s)
+        float(jnp.asarray(s.tg[0]))
+        t1 = time.time()
+        for _ in range(iters):
+            s, _ = stp(s)
+        float(jnp.asarray(s.tg[0]))
+        dtm = (time.time() - t1) / iters
+        print(f"TIMED {tag}: {dtm*1e3:.2f} ms/step, "
+              f"{n/dtm:,.0f} point-steps/s", flush=True)
+
+    if bad:
         sys.exit(1)
-    print(f"MATCH: all state leaves within 1e-3 after {steps} steps",
-          flush=True)
 
 
 if __name__ == "__main__":
