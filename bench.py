@@ -25,6 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 def main():
     from __graft_entry__ import _build
     from noahmp_tpu.physics.sflx import column_step
+    from noahmp_tpu import tuning
 
     n = 65536  # land points on one chip
     params, opts, static, forcing, state = _build(n)
@@ -40,7 +41,20 @@ def main():
         return jax.vmap(col, in_axes=(None, 0, 0, 0))(
             params, static, forcing, state)[0]
 
-    step = jax.jit(fn, donate_argnums=(3,))
+    use_pallas = os.environ.get(
+        "NOAHMP_BENCH_PALLAS",
+        "1" if tuning.USE_PALLAS_STEP else "0") not in ("0", "false")
+    if use_pallas:
+        # fused Pallas column kernel (pallas/column.py, PERF.md lever 3)
+        from noahmp_tpu.driver.step import make_fused_step
+        block = int(os.environ.get("NOAHMP_BENCH_BLOCK", "8192"))
+        fused = make_fused_step(params, opts, 900.0, static,
+                                block=block)
+
+        def step(params, static, forcing, state):
+            return fused(static, forcing, state)[0]
+    else:
+        step = jax.jit(fn, donate_argnums=(3,))
 
     def sync(state):
         # a scalar device->host fetch is the only reliable completion

@@ -53,6 +53,32 @@ def make_step(params, opts, dt, jit=True, donate=True, layout="major"):
     return step
 
 
+def make_fused_step(params, opts, dt, static, block=1024,
+                    donate=True, interpret=False):
+    """Fused Pallas column-kernel step with ``make_step``'s calling
+    convention: step(static, forcing, state) -> (state, flux).
+
+    The kernel specializes on the domain at build time (pre-gathered
+    parameters, tile layout), so the per-call ``static`` argument is
+    accepted for signature compatibility and ignored — callers must
+    pass the same domain the step was built for.  Selected by
+    ``tuning.USE_PALLAS_STEP`` in bench/scaling harnesses; the XLA
+    path remains the default until the kernel beats it end to end
+    (PERF.md lever 3).
+    """
+    from ..pallas.column import make_pallas_step
+    inner = make_pallas_step(params, opts, dt, static, block=block,
+                             interpret=interpret)
+    jitted = jax.jit(inner, donate_argnums=(1,) if donate else ())
+
+    def step(static_ignored, forcing, state):
+        return jitted(forcing, state)
+
+    step.jitted = jitted
+    step.params = params
+    return step
+
+
 def batch_to_layout(tree, layout):
     """Move the leading batch axis of every leaf to the layout's batch
     position ("major": unchanged; "minor": trailing)."""
