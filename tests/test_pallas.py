@@ -140,3 +140,24 @@ def test_fused_column_step_interpret(regime):
     assert np.max(np.abs(np.asarray(f_pl.errwat))) < 0.01
     land = np.asarray(static.ist) == 1
     assert np.max(np.abs(np.asarray(f_pl.erreng)[land])) < 0.05
+
+
+@pytest.mark.slow
+def test_make_fused_step_wrapper():
+    """driver.step.make_fused_step exposes the fused kernel with the
+    XLA step's (static, forcing, state) calling convention."""
+    from __graft_entry__ import _build
+    from noahmp_tpu.driver.step import make_step, make_fused_step
+
+    n = 256
+    params, opts, static, forcing, state = _build(n)
+    fused = make_fused_step(params, opts, 900.0, static, block=n,
+                            donate=False, interpret=True)
+    xla = make_step(params, opts, 900.0, donate=False)
+    s1, _f1 = fused(static, forcing, state)
+    s2, _f2 = xla(static, forcing, state)
+    for name in s1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name), np.float64),
+            np.asarray(getattr(s2, name), np.float64),
+            rtol=1e-6, atol=1e-6, err_msg=name)
